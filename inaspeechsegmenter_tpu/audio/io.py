@@ -1,0 +1,95 @@
+"""Media decode: anything -> 16 kHz mono PCM on the host.
+
+Mirrors the behavior of the reference `media2sig16kmono`
+(reference io.py:32-79):
+
+* With ffmpeg available, any media/url is decoded via an ffmpeg subprocess
+  piping 16 kHz mono pcm_s16le WAV to stdout, honoring start/stop windows
+  pushed into `-ss`/`-to`.
+* With ``ffmpeg=None``, only local 16 kHz WAV files are accepted and
+  start/stop/url raise NotImplementedError — identical contract to the
+  reference no-ffmpeg path (io.py:37-55) — except parsing uses the
+  first-party RIFF reader instead of libsndfile.
+
+This is the single host-side stage of the pipeline; everything downstream is
+device-resident.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+
+from .wav import read_wav
+
+SR = 16000
+
+
+def media2sig16kmono(medianame, start_sec=None, stop_sec=None, ffmpeg="ffmpeg",
+                     dtype="float64"):
+    """Decode a media file to a 16 kHz mono signal.
+
+    :return: 1-D numpy array of the requested dtype.
+    """
+    if ffmpeg is None:
+        if start_sec is not None or stop_sec is not None:
+            raise NotImplementedError(
+                f"start_sec={start_sec} and stop_sec={stop_sec} cannot be set "
+                f"when running without ffmpeg. Please cut down your audio "
+                f"files beforehand or use ffmpeg."
+            )
+        if medianame.startswith("http://") or medianame.startswith("https://"):
+            raise NotImplementedError(
+                f"Without ffmpeg you cannot process media content on http "
+                f"servers. You need to download your audio files beforehand "
+                f"or use ffmpeg. You gave medianame={medianame}."
+            )
+        sig, sr = read_wav(medianame, dtype=dtype)
+        assert sr == SR, (
+            f"Without ffmpeg, only files sampled at 16000 Hz are supported. "
+            f"The file {medianame} is sampled at {sr} Hz."
+        )
+        if sig.ndim > 1:
+            sig = sig.mean(axis=1)
+        return sig
+
+    cmd = [ffmpeg, "-i", medianame, "-f", "wav", "-acodec", "pcm_s16le",
+           "-ar", str(SR), "-ac", "1"]
+    if start_sec is not None:
+        cmd += ["-ss", "%f" % start_sec]
+    if stop_sec is not None:
+        cmd += ["-to", "%f" % stop_sec]
+    cmd += ["pipe:1"]
+
+    proc = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr.decode(errors="replace"))
+    # ffmpeg writes a streaming WAV with an unknown-length data chunk; the
+    # RIFF sizes may be 0xFFFFFFFF — patch the actual size before parsing.
+    sig, sr = read_wav(_fix_streamed_riff(proc.stdout), dtype=dtype)
+    assert sr == SR
+    return sig
+
+
+def _fix_streamed_riff(blob: bytes) -> bytes:
+    """Rewrite bogus RIFF/data sizes emitted when ffmpeg streams to a pipe."""
+    if len(blob) < 44:
+        return blob
+    ba = bytearray(blob)
+    ba[4:8] = (len(blob) - 8).to_bytes(4, "little")
+    # find the data chunk header and fix its size field
+    idx = blob.find(b"data", 12)
+    if idx >= 0:
+        size = len(blob) - idx - 8
+        ba[idx + 4: idx + 8] = size.to_bytes(4, "little")
+    return bytes(ba)
+
+
+def check_ffmpeg(ffmpeg):
+    """Validate the ffmpeg binary like the reference ctor (segmenter.py:227-231)."""
+    if ffmpeg is not None and shutil.which(ffmpeg) is None:
+        raise Exception("ffmpeg program not found")
+    return ffmpeg

@@ -1,0 +1,103 @@
+"""VBx/Kaldi-flavor 64-band log-mel frontend for x-vector extraction.
+
+Reproduces the reference feature chain (reference vbx_segmenter.py:72-89
+`get_features` + features_vbx.py): int16-scaled dither with numpy's global
+RNG seeded at 3 (bit-exact host-side), mirror padding (120 front / 200 back),
+HTK framing (400 win / 160 hop), ZMEANSOURCE per-frame mean removal,
+pre-emphasis 0.97, Povey window (Hann^0.85), 512-pt power spectrum,
+`log(max(1, spec @ fbank))` with a 64-channel 20–7600 Hz mel bank
+(htk_bug=False), then floating-window CMVN (LC=150/RC=149, mean only) with
+Kaldi edge handling via cumulative sums.
+
+Host does only the RNG-dependent dither and mirror pad; framing, FFT
+(as cos/sin matmuls on the MXU), mel projection and CMVN run on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mel import kaldi_mel_fbank
+from .sidekit import _dft_matrices
+
+WIN = 400
+HOP = 160
+NFFT = 512
+FEAT_DIM = 64
+SR = 16000
+
+
+def povey_window(winlen=WIN):
+    return np.power(0.5 - 0.5 * np.cos(np.linspace(0, 2 * np.pi, winlen)), 0.85)
+
+
+def add_dither_seeded(x_int, level=8, seed=3):
+    """HTK-style dither on the int16-scaled signal, reproducing the
+    reference's np.random.seed(3) for bit-compatible features
+    (vbx_segmenter.py:84-85)."""
+    rng = np.random.RandomState(seed)
+    return x_int + level * (rng.rand(*x_int.shape) * 2 - 1)
+
+
+def preprocess_signal(signal):
+    """float64 16 kHz signal -> dithered, mirror-padded float64 array
+    (vbx_segmenter.py:84-86)."""
+    noverlap = 240
+    sig_int = (np.asarray(signal) * 2 ** 15).astype(int)
+    sig = add_dither_seeded(sig_int)
+    return np.r_[sig[noverlap // 2 - 1::-1], sig, sig[-1:-WIN // 2 - 1:-1]]
+
+
+class VbxFrontend:
+    def __init__(self, lc=150, rc=149):
+        self.lc = lc
+        self.rc = rc
+        fbank = kaldi_mel_fbank(WIN, SR, numchans=FEAT_DIM, lofreq=20.0,
+                                hifreq=7600, htk_bug=False)
+        self.fbank = jnp.asarray(fbank.astype(np.float32))      # (257, 64)
+        self.window = jnp.asarray(povey_window().astype(np.float32))
+        dcos, dsin = _dft_matrices(WIN, NFFT)
+        self.dcos = jnp.asarray(dcos)
+        self.dsin = jnp.asarray(dsin)
+
+    @partial(jax.jit, static_argnames=("self", "n_frames"))
+    def _fbank_cmvn(self, seg, n_frames):
+        starts = jnp.arange(n_frames) * HOP
+        idx = starts[:, None] + jnp.arange(WIN)[None, :]
+        frames = seg[idx]                                        # (T, 400)
+        frames = frames - jnp.mean(frames, axis=1, keepdims=True)  # ZMEANSOURCE
+        shifted = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+        frames = frames - 0.97 * shifted                         # pre-emphasis
+        fw = frames * self.window
+        hp = jax.lax.Precision.HIGHEST
+        re = jnp.dot(fw, self.dcos, precision=hp)
+        im = jnp.dot(fw, self.dsin, precision=hp)
+        spec = re * re + im * im
+        fea = jnp.log(jnp.maximum(1.0, jnp.dot(spec, self.fbank, precision=hp)))
+        return self._cmvn(fea, n_frames)
+
+    def _cmvn(self, x, n):
+        """Floating-window mean normalization, Kaldi edge handling
+        (features_vbx.py:131-149, norm_vars=False)."""
+        win_len = min(n, self.lc + self.rc + 1)
+        ws = jnp.clip(jnp.arange(-self.lc, n - self.lc), 0, n - win_len)
+        f = jnp.concatenate([jnp.zeros((1, x.shape[1]), x.dtype),
+                             jnp.cumsum(x, axis=0)])
+        return x - (f[ws + win_len] - f[ws]) / win_len
+
+    def features(self, signal):
+        """Reference-compatible entry: float64 signal -> (T, 64) float32."""
+        seg = preprocess_signal(signal).astype(np.float32)
+        n_frames = (len(seg) - WIN) // HOP + 1
+        fea = self._fbank_cmvn(jnp.asarray(seg), n_frames)
+        return fea
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other

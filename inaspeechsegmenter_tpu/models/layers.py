@@ -1,0 +1,260 @@
+"""Pure-JAX inference implementations of the Keras layer vocabulary.
+
+The reference runs its CNNs/MLPs through the TensorFlow/Keras C++ runtime
+(reference segmenter.py:131,163; vbx_segmenter.py:122).  Here each layer type
+is a pure function over a params list, assembled into a jit-compiled forward
+pass by :mod:`.keras_h5`.  Layout is NHWC (Keras channels_last) so imported
+kernels apply without transposition; XLA re-layouts for the MXU internally.
+
+Only inference semantics are implemented (BatchNorm uses moving statistics,
+Dropout is identity) — matching `keras.Model.predict`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _activation(name, x):
+    if name is None or name == "linear":
+        return x
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "softmax":
+        return jax.nn.softmax(x, axis=-1)
+    if name == "sigmoid":
+        return jax.nn.sigmoid(x)
+    if name == "tanh":
+        return jnp.tanh(x)
+    if name == "elu":
+        return jax.nn.elu(x)
+    if name == "selu":
+        return jax.nn.selu(x)
+    if name == "gelu":
+        return jax.nn.gelu(x)
+    if name == "softplus":
+        return jax.nn.softplus(x)
+    if name == "exponential":
+        return jnp.exp(x)
+    if name == "hard_sigmoid":
+        return jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)
+    if name == "swish" or name == "silu":
+        return jax.nn.silu(x)
+    raise NotImplementedError(f"activation {name!r}")
+
+
+def _pair(v):
+    if isinstance(v, (list, tuple)):
+        return tuple(int(e) for e in v)
+    return (int(v), int(v))
+
+
+def conv2d(cfg, params, x):
+    kernel = params[0]  # (kh, kw, cin, cout)
+    strides = _pair(cfg.get("strides", 1))
+    padding = cfg.get("padding", "valid").upper()
+    dilation = _pair(cfg.get("dilation_rate", 1))
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=strides, padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    if cfg.get("use_bias", True):
+        out = out + params[1]
+    return _activation(cfg.get("activation"), out)
+
+
+def depthwise_conv2d(cfg, params, x):
+    kernel = params[0]  # (kh, kw, cin, depth_multiplier)
+    kh, kw, cin, dm = kernel.shape
+    strides = _pair(cfg.get("strides", 1))
+    padding = cfg.get("padding", "valid").upper()
+    out = jax.lax.conv_general_dilated(
+        x, kernel.reshape(kh, kw, 1, cin * dm),
+        window_strides=strides, padding=padding,
+        feature_group_count=cin,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    if cfg.get("use_bias", True):
+        out = out + params[1]
+    return _activation(cfg.get("activation"), out)
+
+
+def conv1d(cfg, params, x):
+    kernel = params[0]  # (kw, cin, cout)
+    strides = (int(cfg.get("strides", [1])[0]) if isinstance(cfg.get("strides", 1), (list, tuple))
+               else int(cfg.get("strides", 1)),)
+    padding = cfg.get("padding", "valid").upper()
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=strides, padding=padding,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    if cfg.get("use_bias", True):
+        out = out + params[1]
+    return _activation(cfg.get("activation"), out)
+
+
+def dense(cfg, params, x):
+    out = jnp.dot(x, params[0], precision=jax.lax.Precision.HIGHEST)
+    if cfg.get("use_bias", True):
+        out = out + params[1]
+    return _activation(cfg.get("activation"), out)
+
+
+def batch_norm(cfg, params, x):
+    # params ordered gamma, beta, moving_mean, moving_variance with scale
+    # and center flags controlling presence
+    scale = cfg.get("scale", True)
+    center = cfg.get("center", True)
+    i = 0
+    gamma = params[i] if scale else None
+    i += 1 if scale else 0
+    beta = params[i] if center else None
+    i += 1 if center else 0
+    mean, var = params[i], params[i + 1]
+    eps = cfg.get("epsilon", 1e-3)
+    axis = cfg.get("axis", -1)
+    if isinstance(axis, (list, tuple)):
+        axis = axis[0]
+    # reshape stats to broadcast along `axis`
+    shape = [1] * x.ndim
+    shape[axis] = x.shape[axis]
+    inv = jax.lax.rsqrt(var.reshape(shape) + eps)
+    out = (x - mean.reshape(shape)) * inv
+    if gamma is not None:
+        out = out * gamma.reshape(shape)
+    if beta is not None:
+        out = out + beta.reshape(shape)
+    return out
+
+
+def _pool2d(cfg, x, reducer, init):
+    pool = _pair(cfg.get("pool_size", 2))
+    strides = _pair(cfg.get("strides") or cfg.get("pool_size", 2))
+    padding = cfg.get("padding", "valid").upper()
+    return jax.lax.reduce_window(
+        x, init, reducer,
+        window_dimensions=(1,) + pool + (1,),
+        window_strides=(1,) + strides + (1,),
+        padding=padding)
+
+
+def max_pool2d(cfg, params, x):
+    return _pool2d(cfg, x, jax.lax.max, -jnp.inf)
+
+
+def avg_pool2d(cfg, params, x):
+    pool = _pair(cfg.get("pool_size", 2))
+    summed = _pool2d(cfg, x, jax.lax.add, 0.0)
+    return summed / (pool[0] * pool[1])
+
+
+def global_avg_pool2d(cfg, params, x):
+    out = jnp.mean(x, axis=(1, 2), keepdims=cfg.get("keepdims", False))
+    return out
+
+
+def global_max_pool2d(cfg, params, x):
+    return jnp.max(x, axis=(1, 2), keepdims=cfg.get("keepdims", False))
+
+
+def flatten(cfg, params, x):
+    return x.reshape(x.shape[0], -1)
+
+
+def reshape(cfg, params, x):
+    return x.reshape((x.shape[0],) + tuple(cfg["target_shape"]))
+
+
+def permute(cfg, params, x):
+    dims = (0,) + tuple(cfg["dims"])
+    return jnp.transpose(x, dims)
+
+
+def zero_padding2d(cfg, params, x):
+    p = cfg.get("padding", 1)
+    if isinstance(p, int):
+        pads = ((p, p), (p, p))
+    else:
+        pads = tuple(_pair(e) for e in p)
+    return jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+
+
+def activation(cfg, params, x):
+    return _activation(cfg.get("activation"), x)
+
+
+def relu_layer(cfg, params, x):
+    x = jnp.minimum(x, cfg["max_value"]) if cfg.get("max_value") else x
+    neg = cfg.get("negative_slope", 0.0) or 0.0
+    thr = cfg.get("threshold", 0.0) or 0.0
+    return jnp.where(x >= thr, x, neg * (x - thr))
+
+
+def leaky_relu(cfg, params, x):
+    alpha = cfg.get("alpha", cfg.get("negative_slope", 0.3))
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def softmax_layer(cfg, params, x):
+    return jax.nn.softmax(x, axis=cfg.get("axis", -1))
+
+
+def identity(cfg, params, x):
+    return x
+
+
+def add(cfg, params, xs):
+    out = xs[0]
+    for e in xs[1:]:
+        out = out + e
+    return out
+
+
+def concatenate(cfg, params, xs):
+    return jnp.concatenate(xs, axis=cfg.get("axis", -1))
+
+
+def multiply(cfg, params, xs):
+    out = xs[0]
+    for e in xs[1:]:
+        out = out * e
+    return out
+
+
+# single-input layers: cfg, params, x -> y
+LAYER_FNS = {
+    "Conv2D": conv2d,
+    "DepthwiseConv2D": depthwise_conv2d,
+    "Conv1D": conv1d,
+    "Dense": dense,
+    "BatchNormalization": batch_norm,
+    "MaxPooling2D": max_pool2d,
+    "AveragePooling2D": avg_pool2d,
+    "GlobalAveragePooling2D": global_avg_pool2d,
+    "GlobalMaxPooling2D": global_max_pool2d,
+    "Flatten": flatten,
+    "Reshape": reshape,
+    "Permute": permute,
+    "ZeroPadding2D": zero_padding2d,
+    "Activation": activation,
+    "ReLU": relu_layer,
+    "LeakyReLU": leaky_relu,
+    "Softmax": softmax_layer,
+    "Dropout": identity,
+    "SpatialDropout1D": identity,
+    "SpatialDropout2D": identity,
+    "GaussianNoise": identity,
+    "GaussianDropout": identity,
+    "ActivityRegularization": identity,
+    "InputLayer": identity,
+}
+
+# multi-input layers: cfg, params, [x...] -> y
+MERGE_FNS = {
+    "Add": add,
+    "Concatenate": concatenate,
+    "Multiply": multiply,
+}

@@ -1,0 +1,129 @@
+"""Synthetic model factory.
+
+The reference CNN topologies live only inside GitHub-released hdf5 files
+(reference remote_utils.py:8-10) which cannot be fetched in an egress-less
+TPU environment.  For end-to-end tests and benchmarks this module builds
+randomly-initialized models of the documented family — patch CNNs over
+(68, nmel, 1) log-mel patches with softmax outputs (ICASSP'18), and the
+x-vector gender MLP — expressed in the same spec/params format as imported
+Keras models, so they exercise exactly the production forward path.
+
+When the real released weights are available (ISS_TPU_MODEL_DIR), the
+registry resolves those instead and these are never used.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _conv(name, filters, kernel, activation="relu", strides=1):
+    return dict(name=name, class_name="Conv2D",
+                config=dict(name=name, filters=filters,
+                            kernel_size=[kernel, kernel], strides=[strides, strides],
+                            padding="same", activation=activation, use_bias=True),
+                inbound=[])
+
+
+def _bn(name):
+    return dict(name=name, class_name="BatchNormalization",
+                config=dict(name=name, axis=-1, epsilon=1e-3, center=True,
+                            scale=True),
+                inbound=[])
+
+
+def _pool(name, pool):
+    return dict(name=name, class_name="MaxPooling2D",
+                config=dict(name=name, pool_size=list(pool), strides=list(pool),
+                            padding="valid"),
+                inbound=[])
+
+
+def _dense(name, units, activation=None):
+    return dict(name=name, class_name="Dense",
+                config=dict(name=name, units=units, activation=activation,
+                            use_bias=True),
+                inbound=[])
+
+
+def _flatten(name):
+    return dict(name=name, class_name="Flatten",
+                config=dict(name=name), inbound=[])
+
+
+def _he(rng, shape, fan_in):
+    return (rng.standard_normal(shape) * np.sqrt(2.0 / fan_in)).astype(np.float32)
+
+
+def build_patch_cnn(nmel, n_out, seed=0):
+    """Random patch CNN: (B, 68, nmel, 1) -> (B, n_out) softmax.
+
+    Architecture in the spirit of the reference's ~15 MB CNN family:
+    4 conv+BN+pool blocks then 2 dense layers.
+    """
+    rng = np.random.default_rng(seed)
+    layers = []
+    params = {}
+    cin = 1
+    h, w = 68, nmel
+    for i, (filt, pool) in enumerate([(32, (2, 1)), (64, (2, 2)),
+                                      (128, (2, 2)), (128, (2, 1))]):
+        cname = f"conv{i}"
+        layers.append(_conv(cname, filt, 3))
+        params[cname] = [_he(rng, (3, 3, cin, filt), 9 * cin),
+                         np.zeros(filt, np.float32)]
+        bname = f"bn{i}"
+        layers.append(_bn(bname))
+        params[bname] = [np.ones(filt, np.float32), np.zeros(filt, np.float32),
+                         np.zeros(filt, np.float32), np.ones(filt, np.float32)]
+        layers.append(_pool(f"pool{i}", pool))
+        cin = filt
+        h = h // pool[0]
+        w = w // pool[1]
+    layers.append(_flatten("flatten"))
+    feat = h * w * cin
+    layers.append(_dense("fc1", 256, "relu"))
+    params["fc1"] = [_he(rng, (feat, 256), feat), np.zeros(256, np.float32)]
+    layers.append(_dense("out", n_out, "softmax"))
+    params["out"] = [_he(rng, (256, n_out), 256), np.zeros(n_out, np.float32)]
+
+    spec = dict(layers=layers, inputs=None, outputs=None)
+    return spec, params
+
+
+def build_gender_mlp(in_dim=256, hidden=128, seed=0):
+    """Random femininity-scoring MLP: (B, 256) x-vectors -> (B, 1) sigmoid."""
+    rng = np.random.default_rng(seed)
+    layers = [_dense("fc1", hidden, "relu"), _dense("out", 1, "sigmoid")]
+    params = {
+        "fc1": [_he(rng, (in_dim, hidden), in_dim), np.zeros(hidden, np.float32)],
+        "out": [_he(rng, (hidden, 1), hidden), np.zeros(1, np.float32)],
+    }
+    spec = dict(layers=layers, inputs=None, outputs=None)
+    return spec, params
+
+
+def install_synthetic_models(directory, seed=0):
+    """Write the full synthetic model set (native .npz) into `directory`.
+
+    Produces stand-ins for every CNN/MLP registry entry so the whole
+    framework runs offline: keras_speech_music_cnn, keras_speech_music_noise_cnn,
+    keras_male_female_cnn, interspeech2023_all, interspeech2023_cvfr.
+    """
+    import os
+    from .keras_h5 import save_native
+
+    os.makedirs(directory, exist_ok=True)
+    todo = {
+        "keras_speech_music_cnn": lambda: build_patch_cnn(21, 2, seed),
+        "keras_speech_music_noise_cnn": lambda: build_patch_cnn(21, 3, seed + 1),
+        "keras_male_female_cnn": lambda: build_patch_cnn(24, 2, seed + 2),
+        "interspeech2023_all": lambda: build_gender_mlp(seed=seed + 3),
+        "interspeech2023_cvfr": lambda: build_gender_mlp(seed=seed + 4),
+    }
+    for stem, fn in todo.items():
+        path = os.path.join(directory, stem + ".npz")
+        if not os.path.exists(path):
+            spec, params = fn()
+            save_native(path, spec, params)
+    return directory

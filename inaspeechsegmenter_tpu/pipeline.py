@@ -1,0 +1,168 @@
+"""Fused on-device segmentation pipeline.
+
+Reference control flow (segmenter.py:250-276) is: energy Viterbi on the host,
+run-length encode, gather per-segment CNN batches, `keras.predict`, then one
+Python Viterbi *per segment* — with host<->device transfers around every CNN
+call and interpreted Viterbi loops in between.
+
+The TPU formulation compiles the entire post-feature pipeline into ONE XLA
+program per length bucket:
+
+    loge  -> energy Viterbi (lax.scan, 2 states, 10 ms frames)
+          -> 20 ms decimation
+    mspec -> patch gather+normalize -> VAD CNN  (fixed-size chunks, MXU)
+          -> VAD Viterbi with *segment resets* at every energy/noEnergy
+             boundary (exactly equivalent to per-segment decoding, see
+             decode/viterbi.py)
+          -> gender CNN + gender Viterbi with resets at speech boundaries
+    -> single (T20,) int32 label sequence
+
+The only host work left is run-length encoding a few-KB int array.  Per-frame
+label semantics are identical to the reference: the CNNs only *influence*
+frames inside their `inlabel` segments, non-finite patches are forced to
+p=0.5 (segmenter.py:175), Viterbi smoothing never crosses segment boundaries.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .decode.transitions import log_trans_exp, diag_trans_exp
+from .decode.viterbi import _viterbi_scan
+from .dsp.patches import gather_normalized_patches
+
+CNN_CHUNK = 1024  # patches per CNN invocation inside lax.map
+EPS = 1e-10
+
+
+def _shift_right(x):
+    return jnp.concatenate([x[:1], x[:-1]])
+
+
+class FusedPipeline:
+    """Holds device constants + jitted fused program for one engine config.
+
+    :param vad: (forward_fn, nmel, n_out, viterbi_arg) for the VAD CNN.
+    :param gender: same tuple for the gender CNN, or None.
+    """
+
+    def __init__(self, vad, gender=None, energy_ratio=0.03):
+        self.vad_forward, self.vad_nmel, self.vad_nout, vad_arg = vad
+        self.gender = gender
+        if gender is not None:
+            (self.g_forward, self.g_nmel, self.g_nout, g_arg) = gender
+            self.g_trans = jnp.asarray(diag_trans_exp(g_arg, self.g_nout),
+                                       jnp.float32)
+            self.g_init = jnp.full((self.g_nout,),
+                                   float(np.log(1.0 / self.g_nout)), jnp.float32)
+        self.energy_ratio = energy_ratio
+        self.e_trans = jnp.asarray(log_trans_exp(150, cost0=-5), jnp.float32)
+        self.e_init = jnp.asarray(np.log([0.5, 0.5]), jnp.float32)
+        self.v_trans = jnp.asarray(diag_trans_exp(vad_arg, self.vad_nout),
+                                   jnp.float32)
+        self.v_init = jnp.full((self.vad_nout,),
+                               float(np.log(1.0 / self.vad_nout)), jnp.float32)
+
+    # -- helpers (all traced) ----------------------------------------------
+
+    def _energy_states20(self, loge_pad, n_frames):
+        valid = jnp.arange(loge_pad.shape[0]) < n_frames
+        finite = jnp.isfinite(loge_pad) & valid
+        cnt = jnp.maximum(jnp.sum(finite), 1)
+        mean = jnp.sum(jnp.where(finite, loge_pad, 0.0)) / cnt
+        thr = mean + jnp.log(self.energy_ratio)
+        act = loge_pad > thr
+        em = jnp.stack([
+            jnp.where(act, np.float32(np.log(EPS)), np.float32(np.log(1 - EPS))),
+            jnp.where(act, np.float32(np.log(1 - EPS)), np.float32(np.log(EPS))),
+        ], axis=1)
+        reset = jnp.zeros(loge_pad.shape[0], bool)
+        reset = reset.at[0].set(True).at[n_frames].set(True, mode="drop")
+        states = _viterbi_scan(em, self.e_trans, self.e_init, reset)
+        return states[::2] == 1  # 20 ms energy activity
+
+    def _cnn_probs(self, forward, params, mspec_pad, n_frames_patch, nmel, nout):
+        t20 = mspec_pad.shape[0] // 2
+        nb = t20 // CNN_CHUNK
+        assert t20 % CNN_CHUNK == 0, (t20, CNN_CHUNK)
+
+        def chunk(ib):
+            j = ib * CNN_CHUNK + jnp.arange(CNN_CHUNK)
+            patches, finite = gather_normalized_patches(
+                mspec_pad, j, n_frames_patch, nmel)
+            p = forward(params, patches[..., None])
+            return jnp.where(finite[:, None], p, 0.5)
+
+        probs = jax.lax.map(chunk, jnp.arange(nb))
+        return probs.reshape(t20, nout)
+
+    def _masked_viterbi(self, probs, inmask, n20, trans, init):
+        """Viterbi over log(probs) restricted to `inmask` runs (segment
+        resets at every mask transition and at the padding boundary)."""
+        em = jnp.log(probs)
+        em = jnp.where((inmask & (jnp.arange(probs.shape[0]) < n20))[:, None],
+                       em, 0.0)
+        reset = inmask != _shift_right(inmask)
+        reset = reset.at[0].set(True).at[n20].set(True, mode="drop")
+        return _viterbi_scan(em, trans, init, reset)
+
+    # -- fused program ------------------------------------------------------
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _run(self, vad_params, g_params, mspec_pad, loge_pad, n_frames,
+             n_frames_patch, n20):
+        energy20 = self._energy_states20(loge_pad, n_frames)
+
+        probs_v = self._cnn_probs(self.vad_forward, vad_params, mspec_pad,
+                                  n_frames_patch, self.vad_nmel, self.vad_nout)
+        states_v = self._masked_viterbi(probs_v, energy20, n20,
+                                        self.v_trans, self.v_init)
+        # label ids: 0 = noEnergy, 1..vad_nout = vad outlabels
+        labels = jnp.where(energy20, states_v + 1, 0).astype(jnp.int32)
+
+        if self.gender is not None:
+            speech20 = labels == 1  # outlabels[0] == 'speech' for sm and smn
+            probs_g = self._cnn_probs(self.g_forward, g_params, mspec_pad,
+                                      n_frames_patch, self.g_nmel, self.g_nout)
+            states_g = self._masked_viterbi(probs_g, speech20, n20,
+                                            self.g_trans, self.g_init)
+            labels = jnp.where(speech20,
+                               states_g + 1 + self.vad_nout, labels)
+        return labels
+
+    def run(self, vad_params, g_params, mspec_pad, loge_pad, n_frames,
+            n_frames_patch, n20):
+        """Execute; returns (T20pad,) int32 device array of label ids."""
+        return self._run(vad_params, g_params, mspec_pad, loge_pad,
+                         jnp.int32(n_frames), jnp.int32(n_frames_patch),
+                         jnp.int32(n20))
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+def rle(labels: np.ndarray):
+    """Run-length encode an int label array -> [(label, start, stop)]."""
+    labels = np.asarray(labels)
+    if len(labels) == 0:
+        return []
+    change = np.flatnonzero(np.diff(labels)) + 1
+    bounds = np.concatenate([[0], change, [len(labels)]])
+    return [(int(labels[a]), int(a), int(b))
+            for a, b in zip(bounds[:-1], bounds[1:])]
+
+
+def bucket_chunks(n: int):
+    """Round a chunk count up to a bounded set of bucket sizes (1.5x ladder)
+    so jit caches stay small while padding waste stays <= 50%."""
+    b = 1
+    while b < n:
+        b = b * 2 if b < 4 else (b * 3 + 1) // 2
+    return b

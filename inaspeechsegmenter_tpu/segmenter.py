@@ -1,0 +1,293 @@
+"""Public segmentation API — reference-compatible `Segmenter`.
+
+Mirrors the reference public surface (reference segmenter.py:111-387):
+`DnnSegmenter` subclasses with the same class attributes and per-call
+contract, and `Segmenter(vad_engine, detect_gender, ffmpeg, batch_size,
+energy_ratio)` with `__call__(media, start_sec, stop_sec)`,
+`segment_feats(mspec, loge, difflen, start_sec)` and `batch_process(...)`
+(skipifexist / nbtry / trydelay / status-tuple semantics included).
+
+Execution is entirely different from the reference: features, CNNs and
+Viterbi run as one fused XLA program per length bucket (see pipeline.py);
+`batch_size` is accepted for API parity but the device pipeline always
+processes patches in fixed MXU-friendly chunks.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+import warnings
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .audio.io import media2sig16kmono, check_ffmpeg
+from .dsp.sidekit import SidekitFrontend, CHUNK, frame_count
+from .export import seg2csv, seg2textgrid
+from .models.registry import load_patch_model
+from .pipeline import FusedPipeline, rle, bucket_chunks
+from .utils.timing import StageTimers
+
+
+class DnnSegmenter:
+    """Patch-CNN segmentation stage (abstract).
+
+    Child classes define `nmel`, `viterbi_arg`, `model_fname`, `inlabel`,
+    `outlabels` — same contract as the reference DnnSegmenter
+    (segmenter.py:111-125).  The loaded model is a JAX forward pass imported
+    from the Keras hdf5 (or native npz) weights.
+    """
+
+    def __init__(self, batch_size=32, allow_download=True):
+        self.model = load_patch_model(self.model_fname,
+                                      allow_download=allow_download)
+        self.batch_size = batch_size
+
+    def as_pipeline_stage(self):
+        return (self.model.forward, self.nmel, len(self.outlabels),
+                self.viterbi_arg)
+
+    def __call__(self, mspec, lseg, difflen=0):
+        """Reference-compatible per-stage call: consume (label,start,stop)
+         20ms-frame segments, re-label those matching `inlabel` through the
+        CNN + Viterbi, pass others through unchanged."""
+        from .decode.transitions import diag_trans_exp
+        from .decode.viterbi import viterbi_path
+        from .dsp.patches import gather_normalized_patches
+        import jax.numpy as jnp
+
+        mspec = np.asarray(mspec, np.float32)
+        t = len(mspec)
+        n20 = (t + 1) // 2 - (int(difflen / 2) if difflen > 0 else 0)
+        # pad rows to an even chunkable length for the gather
+        tpad = max(t, 68)
+        mspec_pad = np.pad(mspec, ((0, tpad - t), (0, 0)))
+        j = jnp.arange(n20)
+        patches, finite = gather_normalized_patches(
+            jnp.asarray(mspec_pad), j, t, self.nmel)
+        probs = self.model.forward(self.model.params, patches[..., None])
+        probs = jnp.where(finite[:, None], probs, 0.5)
+        inmask = np.zeros(n20, bool)
+        for lab, start, stop in lseg:
+            if lab == self.inlabel:
+                inmask[start:stop] = True
+        reset = np.zeros(n20, bool)
+        reset[1:] = inmask[1:] != inmask[:-1]
+        em = jnp.where(jnp.asarray(inmask)[:, None], jnp.log(probs), 0.0)
+        states = np.asarray(viterbi_path(
+            em, diag_trans_exp(self.viterbi_arg, len(self.outlabels)),
+            reset=jnp.asarray(reset)))
+        ret = []
+        for lab, start, stop in lseg:
+            if lab != self.inlabel:
+                ret.append((lab, start, stop))
+                continue
+            for s, a, b in rle(states[start:stop]):
+                ret.append((self.outlabels[s], a + start, b + start))
+        return ret
+
+
+class SpeechMusic(DnnSegmenter):
+    # Voice activity detection, 'sm' engine (reference segmenter.py:182-188)
+    outlabels = ("speech", "music")
+    model_fname = "keras_speech_music_cnn.hdf5"
+    inlabel = "energy"
+    nmel = 21
+    viterbi_arg = 150
+
+
+class SpeechMusicNoise(DnnSegmenter):
+    # Voice activity detection, 'smn' engine (reference segmenter.py:190-196)
+    outlabels = ("speech", "music", "noise")
+    model_fname = "keras_speech_music_noise_cnn.hdf5"
+    inlabel = "energy"
+    nmel = 21
+    viterbi_arg = 80
+
+
+class Gender(DnnSegmenter):
+    # Gender segmentation (reference segmenter.py:198-204)
+    outlabels = ("female", "male")
+    model_fname = "keras_male_female_cnn.hdf5"
+    inlabel = "speech"
+    nmel = 24
+    viterbi_arg = 80
+
+
+class Segmenter:
+    def __init__(self, vad_engine="smn", detect_gender=True, ffmpeg="ffmpeg",
+                 batch_size=32, energy_ratio=0.03, allow_download=True):
+        """Load models and build the fused device pipeline.
+
+        Same parameters/defaults as the reference ctor (segmenter.py:208-247):
+        `vad_engine` in {'sm','smn'}, `detect_gender` bool, `ffmpeg` binary
+        name or None (then only 16 kHz WAV input is accepted), `batch_size`
+        (API parity), `energy_ratio` for the energy VAD threshold.
+        """
+        self.ffmpeg = check_ffmpeg(ffmpeg)
+        self.energy_ratio = energy_ratio
+        self.batch_size = batch_size
+
+        assert vad_engine in ["sm", "smn"]
+        if vad_engine == "sm":
+            self.vad = SpeechMusic(batch_size, allow_download)
+        elif vad_engine == "smn":
+            self.vad = SpeechMusicNoise(batch_size, allow_download)
+
+        assert detect_gender in [True, False]
+        self.detect_gender = detect_gender
+        if detect_gender:
+            self.gender = Gender(batch_size, allow_download)
+
+        self.frontend = SidekitFrontend()
+        self.pipeline = FusedPipeline(
+            self.vad.as_pipeline_stage(),
+            self.gender.as_pipeline_stage() if detect_gender else None,
+            energy_ratio=energy_ratio)
+        # label-id -> name table used to decode the fused pipeline output
+        self.labels = ["noEnergy"] + list(self.vad.outlabels)
+        if detect_gender:
+            self.labels += list(self.gender.outlabels)
+        self.timers = StageTimers("decode", "features", "segment")
+
+    # ------------------------------------------------------------------
+    def _media2feats(self, medianame, start_sec, stop_sec):
+        """Decode + features; returns (mspec_dev, loge_dev, t, difflen).
+
+        Matches reference `_media2feats` (segmenter.py:53-67) incl. the
+        short-media pad-to-68-frames-with-min behavior.
+        """
+        with self.timers.time("decode"):
+            sig = media2sig16kmono(medianame, start_sec, stop_sec,
+                                   self.ffmpeg, "float32")
+        with self.timers.time("features"):
+            t = frame_count(len(sig))
+            bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK
+            mspec, loge, t = self.frontend.mspec_loge(sig, pad_frames_to=bucket)
+        difflen = 0
+        if t < 68:
+            difflen = 68 - t
+            warnings.warn(
+                "media %s duration is short. Robust results require length "
+                "of at least 720 milliseconds" % medianame)
+            mspec = _pad_short_mspec(mspec, t)
+        return mspec, loge, t, difflen
+
+    def _fused_segment(self, mspec_dev, loge_dev, t, difflen, start_sec):
+        n20 = (t + 1) // 2 if difflen == 0 else (68 + 1) // 2 - int(difflen / 2)
+        n_frames_patch = 68 if difflen > 0 else t
+        with self.timers.time("segment"):
+            ids = self.pipeline.run(
+                self.vad.model.params,
+                self.gender.model.params if self.detect_gender else None,
+                mspec_dev, loge_dev, t, n_frames_patch, n20)
+            ids = np.asarray(ids)[:n20]
+        return [(self.labels[lab], start_sec + start * .02,
+                 start_sec + stop * .02)
+                for lab, start, stop in rle(ids)]
+
+    # ------------------------------------------------------------------
+    def segment_feats(self, mspec, loge, difflen, start_sec):
+        """Segment host-side features (API parity, segmenter.py:250-276).
+
+        `mspec` (T,24) float32 log-mel, `loge` (T,) log-energy, `difflen`
+        as produced by `_media2feats`.
+        """
+        import jax.numpy as jnp
+
+        loge = np.asarray(loge, np.float32)
+        mspec = np.asarray(mspec, np.float32)
+        t = len(loge)
+        bucket = bucket_chunks(max(1, -(-max(t, len(mspec)) // CHUNK))) * CHUNK
+        loge_pad = np.full(bucket, -np.inf, np.float32)
+        loge_pad[:t] = loge
+        mspec_pad = np.zeros((bucket, mspec.shape[1]), np.float32)
+        mspec_pad[:len(mspec)] = mspec
+        return self._fused_segment(jnp.asarray(mspec_pad),
+                                   jnp.asarray(loge_pad), t, difflen,
+                                   start_sec)
+
+    def __call__(self, medianame, start_sec=None, stop_sec=None):
+        """Segment a media file -> [(label, start_s, stop_s)] tiling the
+        analyzed window (reference segmenter.py:279-294)."""
+        mspec, loge, t, difflen = self._media2feats(medianame, start_sec,
+                                                    stop_sec)
+        if start_sec is None:
+            start_sec = 0
+        return self._fused_segment(mspec, loge, t, difflen, start_sec)
+
+    # ------------------------------------------------------------------
+    def batch_process(self, linput, loutput, verbose=False, skipifexist=False,
+                      nbtry=1, trydelay=2., output_format="csv"):
+        """Batch segmentation with host decode/feature prefetch overlapping
+        device inference (reference segmenter.py:297-335 semantics: returns
+        (t_batch_dur, nb_processed, avg_per_file, status tuples))."""
+        if verbose:
+            print("batch_processing %d files" % len(linput))
+
+        if output_format == "csv":
+            fexport = seg2csv
+        elif output_format == "textgrid":
+            fexport = seg2textgrid
+        else:
+            raise NotImplementedError()
+
+        t_batch_start = time.time()
+        lmsg = []
+        lin = list(zip(linput, loutput))
+
+        def produce(item):
+            src, dst = item
+            if skipifexist and os.path.exists(dst):
+                return None, (dst, 1, "already exists")
+            dname = os.path.dirname(dst)
+            if dname and not os.path.isdir(dname):
+                os.makedirs(dname, exist_ok=True)
+            ret, errmsg = None, None
+            for itry in range(nbtry):
+                try:
+                    ret = self._media2feats(src, None, None)
+                    break
+                except Exception:
+                    errmsg = sys.exc_info()[0]
+                    if itry != nbtry - 1:
+                        time.sleep(random.random() * trydelay)
+            if ret is None:
+                return None, (dst, 2, "error: " + str(errmsg))
+            return ret, (dst, 0, "ok")
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            futures = [pool.submit(produce, item) for item in lin]
+            for (src, dst), fut in zip(lin, futures):
+                feats, msg = fut.result()
+                lmsg.append(msg)
+                if verbose:
+                    print("%d/%d" % (len(lmsg), len(linput)), [msg])
+                if feats is None:
+                    continue
+                mspec, loge, t, difflen = feats
+                b = time.time()
+                lseg = self._fused_segment(mspec, loge, t, difflen, 0)
+                fexport(lseg, dst)
+                lmsg[-1] = (msg[0], msg[1], "ok " + str(time.time() - b))
+
+        t_batch_dur = time.time() - t_batch_start
+        nb_processed = len([e for e in lmsg if e[1] == 0])
+        avg = t_batch_dur / nb_processed if nb_processed > 0 else -1
+        return t_batch_dur, nb_processed, avg, lmsg
+
+
+def _pad_short_mspec(mspec_dev, t):
+    """Pad a <68-frame mel spectrogram to 68 rows with its min value
+    (reference segmenter.py:62-66), keeping the padded device layout."""
+    import jax.numpy as jnp
+
+    m = np.asarray(mspec_dev[:t])
+    fill = np.min(m)
+    out = np.full((mspec_dev.shape[0], m.shape[1]), 0.0, np.float32)
+    out[:t] = m
+    out[t:68] = fill
+    return jnp.asarray(out)

@@ -1,0 +1,272 @@
+"""Voice Femininity Scoring — the VBx x-vector pipeline.
+
+Mirrors the reference contract (reference vbx_segmenter.py:92-202):
+``VoiceFemininityScoring(gd_model_criteria, backend)(fpath)`` returns
+``(score | None, speech_duration, n_retained_xvectors)`` with identical
+VAD-overlap filtering (midpoint in speech, overlap >= threshold, >=50%
+back-fill) and window bookkeeping (144-frame windows, step 24, tail >= 10
+frames, x-vectors scaled x10, NaN windows dropped).
+
+TPU redesign of the reference hot spot: the reference runs one ONNX
+`session.run` per 1.44 s window (vbx_segmenter.py:222-224, "most costly part"
+per its own comments); here all full windows are batched into a single padded
+(B, 64, 144) ResNet101 forward on the MXU.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from .annotations import SpeechTimeline
+from .audio.io import media2sig16kmono
+from .dsp.vbx import VbxFrontend
+from .models.registry import get_remote, load_patch_model
+from .models.resnet import ResNet101XVector
+from .segmenter import Segmenter
+
+logger = logging.getLogger(__name__)
+
+STEP = 24
+WINLEN = 144
+FEAT_DIM = 64
+EMBED_DIM = 256
+SR = 16000
+
+
+def add_needed_vectors(xvectors, t_mid):
+    """Back-fill best-VAD-overlap windows until >= 50% are retained
+    (reference vbx_segmenter.py:40-52)."""
+    min_pred = round(0.5 * len(t_mid))
+    if len(xvectors) < min_pred:
+        t_mid = sorted(t_mid, key=lambda e: e[0], reverse=True)
+        diff = min_pred - len(xvectors)
+        for _, k, seg, x in t_mid[len(xvectors):len(xvectors) + diff]:
+            xvectors.append((k, seg, x))
+    return xvectors
+
+
+def get_femininity_score(g_preds):
+    """Fraction of retained windows with p >= 0.5
+    (reference vbx_segmenter.py:55-61)."""
+    return sum(1 for _, _, p in g_preds if p >= 0.5) / len(g_preds)
+
+
+class JaxResnetExtractor:
+    """Batched x-vector extractor (replaces OnnxBackendExtractor).
+
+    Loads weights from `raw_81.pth` (torch checkpoint) or a converted native
+    npz; runs all full windows in one batched forward, padded to power-of-two
+    batch buckets to bound recompiles.  The ragged tail window (>=10 frames)
+    runs at its exact length like the reference (vbx_segmenter.py:234-243).
+    """
+
+    def __init__(self, allow_download=True, params=None):
+        self.net = ResNet101XVector(feat_dim=FEAT_DIM, embed_dim=EMBED_DIM)
+        if params is not None:
+            self.params = params
+        else:
+            path = self._find_weights(allow_download)
+            if path.endswith(".npz"):
+                self.params = _load_resnet_npz(path)
+            elif path.endswith(".pth"):
+                self.params = self.net.load_torch_checkpoint(path)
+            else:
+                self.params = _load_resnet_onnx(self.net, path)
+
+    def _find_weights(self, allow_download):
+        for name in ("raw_81.pth", "final.onnx"):
+            try:
+                return get_remote(name, allow_download=allow_download)
+            except FileNotFoundError:
+                continue
+        raise FileNotFoundError(
+            "no x-vector weights found (raw_81.pth / final.onnx); set "
+            "ISS_TPU_MODEL_DIR or provide params")
+
+    def get_embedding(self, fea):
+        """(T, 64) features -> (256,) x-vector (single window, exact length)."""
+        out = self.net(self.params, jnp.asarray(fea.T[None]))
+        return np.asarray(out)[0]
+
+    def get_embeddings_batch(self, windows):
+        """(B, 64, T) stacked windows -> (B, 256), padded to pow2 buckets."""
+        b = len(windows)
+        bucket = 1 << (b - 1).bit_length()
+        pad = np.zeros((bucket, windows.shape[1], windows.shape[2]),
+                       np.float32)
+        pad[:b] = windows
+        out = self.net(self.params, jnp.asarray(pad))
+        return np.asarray(out)[:b]
+
+    def __call__(self, basename, fea, duration):
+        """Reference-compatible VBxExtractor.__call__ (vbx_segmenter.py:217-246):
+        returns [(key, (seg_start, seg_end), xvector*10)]."""
+        xvectors = []
+        starts = list(range(0, len(fea) - WINLEN, STEP))
+        if starts:
+            wins = np.stack([fea[s:s + WINLEN].T for s in starts]
+                            ).astype(np.float32)
+            embs = self.get_embeddings_batch(wins)
+            for s, emb in zip(starts, embs):
+                key = f"{basename}_{s:08}-{s + WINLEN:08}"
+                if np.isnan(emb).any():
+                    logger.warning(f"NaN found, not processing: {key}{os.linesep}")
+                else:
+                    xvectors.append(
+                        (key, (round(s / 100.0, 3),
+                               round(s / 100.0 + WINLEN / 100.0, 3)), emb))
+        start = starts[-1] if starts else 0
+        if len(fea) - start - STEP >= 10:
+            data = fea[start + STEP: len(fea)]
+            emb = self.get_embedding(data.astype(np.float32))
+            key = f"{basename}_{start + STEP:08}-{len(fea):08}"
+            if np.isnan(emb).any():
+                logger.warning(f"NaN found, not processing: {key}{os.linesep}")
+            else:
+                xvectors.append((key, (round((start + STEP) / 100.0, 3),
+                                       round(duration, 3)), emb))
+        return [(key, seg, x * 10) for key, seg, x in xvectors]
+
+
+class VoiceFemininityScoring:
+    """Voice femininity scoring with the reference constructor contract
+    (vbx_segmenter.py:97-127)."""
+
+    def __init__(self, gd_model_criteria="bgc", backend="jax",
+                 allow_download=True, xvector_params=None):
+        assert backend in ["jax", "onnx", "pytorch"], \
+            "backend is accepted for API parity; execution is always JAX"
+        self.xvector_model = JaxResnetExtractor(allow_download,
+                                                params=xvector_params)
+        assert gd_model_criteria in ["bgc", "vfp"], \
+            "Gender detection model criteria must be 'bgc' or 'vfp'"
+        if gd_model_criteria == "bgc":
+            gd_model = "interspeech2023_all.hdf5"
+            self.vad_thresh = 0.7
+        else:
+            gd_model = "interspeech2023_cvfr.hdf5"
+            self.vad_thresh = 0.62
+        self.gender_detection_mlp_model = load_patch_model(
+            gd_model, allow_download=allow_download)
+        self.vad = Segmenter(vad_engine="smn", detect_gender=False,
+                             allow_download=allow_download)
+        self.features = VbxFrontend()
+
+    def apply_vad(self, xvectors, timeline: SpeechTimeline):
+        """Keep windows whose midpoint is in speech and whose speech overlap
+        >= vad_thresh; back-fill to >= 50% (vbx_segmenter.py:129-145)."""
+        midpoint_seg = []
+        n_xvectors = []
+        for key, (start, stop), x in xvectors:
+            if timeline.contains_point((start + stop) / 2):
+                dur = stop - start
+                overlap = timeline.overlap_duration(start, stop)
+                if overlap / dur >= self.vad_thresh:
+                    n_xvectors.append((key, (start, stop), x))
+                midpoint_seg.append((overlap / dur, key, (start, stop), x))
+        return add_needed_vectors(n_xvectors, midpoint_seg)
+
+    def __call__(self, fpath):
+        """-> (score | None, speech_duration_s, n_retained_xvectors)."""
+        basename = os.path.splitext(os.path.basename(fpath))[0]
+
+        signal = media2sig16kmono(fpath, dtype="float64")
+        duration = len(signal) / SR
+
+        vad_seg = self.vad(fpath)
+        timeline = SpeechTimeline.from_vad(vad_seg)
+        speech_duration = timeline.total_duration()
+
+        if speech_duration:
+            fea = np.asarray(self.features.features(signal))
+            x_vectors = self.xvector_model(basename, fea, duration)
+            x_vectors = self.apply_vad(x_vectors, timeline)
+
+            x = np.asarray([x for _, _, x in x_vectors])
+            pred = np.asarray(self.gender_detection_mlp_model(
+                jnp.asarray(x))).squeeze()
+            pred = np.atleast_1d(pred)
+            g_preds = [(seg[0], seg[1], float(p))
+                       for (_, seg, _), p in zip(x_vectors, pred)]
+            score, nb_vectors = get_femininity_score(g_preds), len(g_preds)
+        else:
+            score, nb_vectors = None, 0
+
+        return score, speech_duration, nb_vectors
+
+
+def _load_resnet_npz(path):
+    """Load a native ResNet checkpoint saved with save_resnet_npz."""
+    with np.load(path) as z:
+        flat = dict(z)
+    return _unflatten(flat)
+
+
+def save_resnet_npz(path, params):
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}.{k}" if prefix else k)
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, f"{prefix}#{i}")
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk(params, "")
+    np.savez(path, **flat)
+
+
+def _unflatten(flat):
+    root = {}
+    for key, val in flat.items():
+        parts = []
+        for seg in key.split("."):
+            for j, sub in enumerate(seg.split("#")):
+                parts.append(sub if j == 0 else int(sub))
+        node = root
+        for a, b in zip(parts[:-1], parts[1:]):
+            if isinstance(a, int):
+                while len(node) <= a:
+                    node.append(None)
+                if node[a] is None:
+                    node[a] = [] if isinstance(b, int) else {}
+                node = node[a]
+            else:
+                if a not in node:
+                    node[a] = [] if isinstance(b, int) else {}
+                node = node[a]
+        last = parts[-1]
+        if isinstance(last, int):
+            while len(node) <= last:
+                node.append(None)
+            node[last] = val
+        else:
+            node[last] = val
+    return root
+
+
+def _load_resnet_onnx(net, path):
+    """Map `final.onnx` initializers onto the ResNet pytree (requires the
+    `onnx` package; raise a clear error otherwise)."""
+    try:
+        import onnx  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "loading final.onnx requires the `onnx` package; convert the "
+            "checkpoint offline (e.g. from raw_81.pth with torch) and save "
+            "it with vfs.save_resnet_npz instead") from exc
+    from onnx import numpy_helper
+
+    model = onnx.load(path)
+    weights = {init.name: numpy_helper.to_array(init)
+               for init in model.graph.initializer}
+    # VBx exports keep torch parameter names in the initializer names.
+    state = {k.replace("model.", ""): v for k, v in weights.items()}
+    return net.params_from_torch_state(state)

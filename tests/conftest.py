@@ -1,0 +1,90 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding logic is
+exercised without TPU hardware (the driver separately dry-runs the multichip
+path).  Reference modules from /root/reference are imported *individually*
+(bypassing the package __init__, which needs TensorFlow/skimage) and used as
+numeric oracles for parity tests.
+"""
+
+import importlib.util
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags +
+                               " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_DIR = "/root/reference/inaSpeechSegmenter"
+MEDIA_DIR = "/root/reference/media"
+
+
+def load_ref_module(name):
+    """Import a single reference module file as an oracle."""
+    spec = importlib.util.spec_from_file_location(
+        f"refmod_{name}", os.path.join(REF_DIR, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="session")
+def ref_sidekit():
+    return load_ref_module("sidekit_mfcc")
+
+
+@pytest.fixture(scope="session")
+def ref_viterbi():
+    return load_ref_module("pyannote_viterbi")
+
+
+@pytest.fixture(scope="session")
+def ref_viterbi_utils():
+    return load_ref_module("viterbi_utils")
+
+
+@pytest.fixture(scope="session")
+def ref_features_vbx():
+    return load_ref_module("features_vbx")
+
+
+@pytest.fixture(scope="session")
+def media_dir():
+    return MEDIA_DIR
+
+
+@pytest.fixture(scope="session")
+def musanmix_sig():
+    from inaspeechsegmenter_tpu.audio import read_wav
+
+    sig, sr = read_wav(os.path.join(MEDIA_DIR, "musanmix.wav"), dtype="float32")
+    assert sr == 16000
+    return sig
+
+
+@pytest.fixture(scope="session")
+def synthetic_model_dir(tmp_path_factory):
+    """Install synthetic CNN/MLP weights and point the registry at them."""
+    from inaspeechsegmenter_tpu.models.synthetic import install_synthetic_models
+
+    d = tmp_path_factory.mktemp("models")
+    install_synthetic_models(str(d))
+    old = os.environ.get("ISS_TPU_MODEL_DIR")
+    os.environ["ISS_TPU_MODEL_DIR"] = str(d)
+    yield str(d)
+    if old is None:
+        os.environ.pop("ISS_TPU_MODEL_DIR", None)
+    else:
+        os.environ["ISS_TPU_MODEL_DIR"] = old
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,73 @@
+"""SIDEKIT feature frontend parity vs the reference mfcc chain."""
+
+import numpy as np
+import pytest
+
+from inaspeechsegmenter_tpu.dsp import SidekitFrontend
+
+
+@pytest.fixture(scope="module")
+def frontend():
+    return SidekitFrontend()
+
+
+def _ref_feats(ref_sidekit, sig):
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _, loge, _, mspec = ref_sidekit.mfcc(sig.astype(np.float32),
+                                             get_mspec=True)
+    return mspec, loge
+
+
+def test_random_signal_parity(frontend, ref_sidekit, rng):
+    sig = (rng.standard_normal(16000 * 5) * 0.1).astype(np.float32)
+    mspec, loge = frontend.mspec_loge_np(sig)
+    ref_mspec, ref_loge = _ref_feats(ref_sidekit, sig)
+    assert mspec.shape == ref_mspec.shape
+    np.testing.assert_allclose(loge, ref_loge, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(mspec, ref_mspec, rtol=1e-3, atol=2e-3)
+
+
+def test_real_audio_parity(frontend, ref_sidekit, musanmix_sig):
+    mspec, loge = frontend.mspec_loge_np(musanmix_sig)
+    ref_mspec, ref_loge = _ref_feats(ref_sidekit, musanmix_sig)
+    assert mspec.shape == ref_mspec.shape
+    # silent regions produce -inf logs on both sides
+    fin = np.isfinite(ref_mspec)
+    np.testing.assert_array_equal(np.isfinite(mspec), fin)
+    np.testing.assert_allclose(mspec[fin], ref_mspec[fin], rtol=1e-3, atol=3e-3)
+    finl = np.isfinite(ref_loge)
+    np.testing.assert_array_equal(np.isfinite(loge), finl)
+    np.testing.assert_allclose(loge[finl], ref_loge[finl], rtol=1e-4, atol=1e-3)
+
+
+def test_chunk_boundaries(frontend, ref_sidekit, rng):
+    """Signal spanning multiple device chunks: no seams at chunk edges."""
+    from inaspeechsegmenter_tpu.dsp import CHUNK
+
+    n = (2 * CHUNK + 100) * 160 + 400
+    r = np.random.default_rng(5)
+    sig = (r.standard_normal(n) * 0.1).astype(np.float32)
+    mspec, loge = frontend.mspec_loge_np(sig)
+    ref_mspec, ref_loge = _ref_feats(ref_sidekit, sig)
+    assert mspec.shape == ref_mspec.shape
+    np.testing.assert_allclose(mspec, ref_mspec, rtol=1e-3, atol=2e-3)
+
+
+def test_frame_count_and_energy_semantics(frontend, ref_sidekit, rng):
+    """Log-energy must be post-pre-emphasis, pre-window (sidekit order)."""
+    sig = (rng.standard_normal(16000) * 0.3).astype(np.float32)
+    _, loge = frontend.mspec_loge_np(sig)
+    _, ref_loge = _ref_feats(ref_sidekit, sig)
+    assert len(loge) == (len(sig) - 400) // 160 + 1
+    np.testing.assert_allclose(loge, ref_loge, rtol=1e-4, atol=1e-4)
+
+
+def test_cepstra_parity(frontend, ref_sidekit, rng):
+    sig = (rng.standard_normal(16000 * 2) * 0.2).astype(np.float32)
+    mspec, _ = frontend.mspec_loge_np(sig)
+    ceps = frontend.cepstra(mspec)
+    ref_ceps, _, _, _ = ref_sidekit.mfcc(sig.astype(np.float32), get_mspec=True)
+    assert ceps.shape == ref_ceps.shape
+    np.testing.assert_allclose(ceps, ref_ceps, rtol=1e-2, atol=5e-3)

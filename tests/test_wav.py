@@ -1,0 +1,64 @@
+"""WAV reader/writer tests: roundtrips, scipy cross-check, real fixtures."""
+
+import io
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from inaspeechsegmenter_tpu.audio import read_wav, write_wav
+
+
+@pytest.mark.parametrize("subtype", ["PCM_16", "PCM_32", "FLOAT", "DOUBLE"])
+def test_roundtrip(subtype, rng):
+    sig = np.clip(rng.standard_normal(1000) * 0.3, -0.99, 0.99).astype(np.float64)
+    buf = io.BytesIO()
+    write_wav(buf, sig, 16000, subtype=subtype)
+    out, sr = read_wav(buf.getvalue(), dtype="float64")
+    assert sr == 16000
+    tol = {"PCM_16": 1 / 32768, "PCM_32": 1e-9, "FLOAT": 1e-7, "DOUBLE": 0}[subtype]
+    np.testing.assert_allclose(out, sig, atol=tol + 1e-12)
+
+
+def test_vs_scipy_pcm16(tmp_path, rng):
+    sig = (rng.standard_normal(5000) * 10000).astype(np.int16)
+    p = tmp_path / "x.wav"
+    wavfile.write(str(p), 16000, sig)
+    out, sr = read_wav(str(p), dtype="int16")
+    assert sr == 16000
+    np.testing.assert_array_equal(out, sig)
+    # float scaling matches libsndfile convention (int/2^15)
+    outf, _ = read_wav(str(p), dtype="float64")
+    np.testing.assert_allclose(outf, sig / 32768.0, atol=0)
+
+
+def test_real_fixture(media_dir):
+    sig, sr = read_wav(f"{media_dir}/musanmix.wav", dtype="float32")
+    assert sr == 16000
+    assert sig.ndim == 1
+    ref_sr, ref = wavfile.read(f"{media_dir}/musanmix.wav")
+    assert len(sig) == len(ref)
+    np.testing.assert_allclose(sig, ref / 32768.0, atol=1e-7)
+
+
+def test_stereo(tmp_path, rng):
+    sig = (rng.standard_normal((100, 2)) * 0.1).astype(np.float32)
+    p = tmp_path / "st.wav"
+    write_wav(str(p), sig, 8000, subtype="FLOAT")
+    out, sr = read_wav(str(p), dtype="float32")
+    assert sr == 8000
+    assert out.shape == (100, 2)
+    np.testing.assert_allclose(out, sig, atol=0)
+
+
+def test_pcm24(tmp_path, rng):
+    # hand-craft a PCM_24 file
+    vals = np.array([0, 1, -1, 8388607, -8388608, 123456], dtype=np.int32)
+    payload = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000 * 3, 3, 24)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out, sr = read_wav(blob, dtype="float64")
+    np.testing.assert_allclose(out, vals / 8388608.0, atol=1e-12)
