@@ -73,10 +73,16 @@ def _layer_entries(config):
 def _parse_io(io_spec):
     if io_spec is None:
         return None
+    # single-io models may store a flat [name, node_idx, tensor_idx]
+    if (len(io_spec) == 3 and isinstance(io_spec[0], str)
+            and all(isinstance(e, int) for e in io_spec[1:])):
+        return [io_spec[0]]
     out = []
     for e in io_spec:
         if isinstance(e, dict):  # keras 3 keras_tensor format
             out.append(e["config"]["keras_history"][0])
+        elif isinstance(e, str):
+            out.append(e)
         else:  # [name, node_index, tensor_index]
             out.append(e[0])
     return out
