@@ -1,0 +1,38 @@
+"""CLI: job-lease worker client (replaces the Pyro4 client script,
+reference scripts/ina_speech_segmenter_pyro_client.py:34-74)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description='Start a segmentation worker that pulls job leases.')
+    parser.add_argument('uri', type=str,
+                        help='Server uri, e.g. tcp://host:4040')
+    parser.add_argument('--batch_size', type=int, default=1024)
+    parser.add_argument('--ffmpeg_binary', default='ffmpeg', type=str)
+    parser.add_argument('--parallel', action='store_true',
+                        help='Shard leased files across local devices.')
+    args = parser.parse_args(argv)
+
+    if args.ffmpeg_binary.lower() == 'none' or args.ffmpeg_binary == '':
+        print('Disabling ffmpeg. Make sure your audio files are already '
+              'sampled at 16kHz.')
+        args.ffmpeg_binary = None
+
+    from inaspeechsegmenter_tpu import Segmenter
+    from inaspeechsegmenter_tpu.parallel import client_work_loop
+
+    seg = Segmenter(batch_size=args.batch_size, ffmpeg=args.ffmpeg_binary)
+    worker = seg
+    if args.parallel:
+        from inaspeechsegmenter_tpu.parallel import ParallelEngine
+
+        worker = ParallelEngine(seg)
+    client_work_loop(args.uri, worker)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,96 @@
+"""CLI: speech/music(/noise) + gender segmentation to csv/TextGrid.
+
+Flag-compatible with the reference script
+(reference scripts/ina_speech_segmenter.py:45-84): -i input globs/urls,
+-o output dir, -s batch size, -d vad engine, -g detect gender, -b ffmpeg
+binary ('none' to disable), -e export format, -r energy ratio.  Adds
+--parallel to shard files across all local TPU chips.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import warnings
+
+description = (
+    "Do Speech/Music(/Noise) and Male/Female segmentation and store "
+    "segmentations into CSV files. Segments labelled 'noEnergy' are "
+    "discarded from music, noise, speech and gender analysis. 'speech', "
+    "'male' and 'female' labels include speech over music and speech over "
+    "noise. 'music' and 'noise' labels are pure segments that are not "
+    "supposed to contain speech."
+)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument('-i', '--input', nargs='+', required=True,
+                        help='Input media to analyse: full path(s), glob '
+                             'pattern(s), or http urls.')
+    parser.add_argument('-o', '--output_directory', required=True,
+                        help='Directory used to store segmentations (same '
+                             'base name as input, csv/TextGrid extension).')
+    parser.add_argument('-s', '--batch_size', type=int, default=32,
+                        help='API-parity batch size hint (the TPU pipeline '
+                             'always uses fixed device chunks).')
+    parser.add_argument('-d', '--vad_engine', choices=['sm', 'smn'],
+                        default='smn')
+    parser.add_argument('-g', '--detect_gender', choices=['true', 'false'],
+                        default='true')
+    parser.add_argument('-b', '--ffmpeg_binary', default='ffmpeg',
+                        help="Custom ffmpeg binary; 'none' to disable.")
+    parser.add_argument('-e', '--export_format', choices=['csv', 'textgrid'],
+                        default='csv')
+    parser.add_argument('-r', '--energy_ratio', default=0.03, type=float)
+    parser.add_argument('--parallel', action='store_true',
+                        help='Shard files across all local devices.')
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.ffmpeg_binary.lower() == 'none' or args.ffmpeg_binary == '':
+        print('Disabling ffmpeg. Make sure your audio files are already '
+              'sampled at 16kHz.')
+        args.ffmpeg_binary = None
+
+    input_files = []
+    for e in args.input:
+        if e.startswith('http'):
+            input_files += [e]
+        else:
+            input_files += glob.glob(e)
+    assert len(input_files) > 0, \
+        'No existing media selected for analysis! Bad values provided to -i (%s)' % args.input
+
+    odir = args.output_directory.strip(' \t\n\r').rstrip('/')
+    assert os.access(odir, os.W_OK), 'Directory %s is not writable!' % odir
+
+    from inaspeechsegmenter_tpu import Segmenter
+
+    detect_gender = args.detect_gender.lower() == 'true'
+    seg = Segmenter(vad_engine=args.vad_engine, detect_gender=detect_gender,
+                    ffmpeg=args.ffmpeg_binary, energy_ratio=args.energy_ratio,
+                    batch_size=args.batch_size)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        base = [os.path.splitext(os.path.basename(e))[0] for e in input_files]
+        output_files = [os.path.join(odir, e + '.' + args.export_format)
+                        for e in base]
+        if args.parallel:
+            from inaspeechsegmenter_tpu.parallel import ParallelEngine
+
+            ParallelEngine(seg).batch_process(
+                input_files, output_files, verbose=True,
+                output_format=args.export_format)
+        else:
+            seg.batch_process(input_files, output_files, verbose=True,
+                              output_format=args.export_format)
+
+
+if __name__ == '__main__':
+    main()

@@ -36,6 +36,72 @@ LOG_ZERO = float(np.log(1e-200))
 
 
 @partial(jax.jit, static_argnames=())
+def _viterbi_parallel(emission, transition, initial, reset):
+    """Log-depth Viterbi via `lax.associative_scan` — the TPU-native decode.
+
+    Forward pass: per-frame max-plus matrices
+    ``M_t[k, k'] = transition[k, k'] + emission[t, k']`` (reset frames use a
+    rank-1 restart matrix that ignores the predecessor) compose
+    associatively under max-plus matrix product; the prefix products applied
+    to the initial vector give every V[t] in O(log T) depth.  Each
+    composition renormalizes (subtracts its max) so float32 never
+    accumulates magnitude — a pure shift that cannot change any argmax.
+
+    Backtracking: with all V[t] known, the per-frame back-pointer tables
+    ``P[t][k'] = argmax_k (V[t-1, k] + transition[k, k'])`` are computed for
+    all t at once, and the pointer-chase X[t] = P[t+1][X[t+1]] is itself an
+    associative composition of K-element maps — a second log-depth scan.
+
+    Segment resets restart both passes exactly as independent decodes.
+    """
+    T, K = emission.shape
+    idstates = jnp.arange(K, dtype=jnp.int32)
+
+    # --- forward: prefix max-plus products -------------------------------
+    # regular frame: M[k,k'] = trans[k,k'] + em[k']
+    M = transition[None, :, :] + emission[:, None, :]            # (T, K, K)
+    # reset frame: predecessor-independent restart with initial + em
+    restart = (initial[None, None, :] + emission[:, None, :]) * jnp.ones((1, K, 1))
+    M = jnp.where(reset[:, None, None], restart, M)
+
+    def compose(a, b):
+        # max-plus matrix product, renormalized
+        c = jnp.max(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+        return c - jnp.max(c, axis=(-2, -1), keepdims=True)
+
+    prefix = jax.lax.associative_scan(compose, M)                # (T, K, K)
+    # V[t] = row of prefix product from a uniform start; frame 0 is a reset
+    # frame so the start vector cancels — use row 0.
+    V = prefix[:, 0, :]                                          # (T, K)
+
+    # --- pointers for every frame, elementwise-parallel ------------------
+    cand = V[:-1, :, None] + transition[None, :, :]              # (T-1, K, K)
+    ptr = jnp.argmax(cand, axis=1).astype(jnp.int32)             # (T-1, K)
+    ptr = jnp.concatenate([idstates[None, :], ptr], axis=0)      # (T, K)
+    ptr = jnp.where(reset[:, None], idstates[None, :], ptr)
+
+    # --- backward: pointer-table composition -----------------------------
+    amax = jnp.argmax(V, axis=1).astype(jnp.int32)               # (T,)
+    seg_end = jnp.concatenate([reset[1:], jnp.ones((1,), bool)])
+    # maps m_t : state at t+1 -> state at t, for t = T-2 .. 0; at segment
+    # ends the map is constant (that segment's own argmax).
+    maps = jnp.where(seg_end[:-1, None], amax[:-1, None], ptr[1:])  # (T-1, K)
+
+    def compose_maps(a, b):
+        # prefix `a` is applied first (later in time, we scan reversed),
+        # then `b`: (b ∘ a)[j] = b[a[j]]
+        return jnp.take_along_axis(b, a, axis=-1)
+
+    rev = maps[::-1]                                             # t = T-2 .. 0
+    chains = jax.lax.associative_scan(compose_maps, rev)         # (T-1, K)
+    # chains[i] maps X[T-1] -> X[T-2-i]; state at T-1 is its segment's argmax
+    x_last = amax[-1]
+    states = jnp.concatenate([
+        jnp.take(chains[::-1], x_last, axis=1), x_last[None]])
+    return states
+
+
+@partial(jax.jit, static_argnames=())
 def _viterbi_scan(emission, transition, initial, reset):
     """Core scan. emission (T,K) f32, transition (K,K), initial (K,),
     reset (T,) bool with reset[0] == True.
@@ -76,7 +142,8 @@ def _viterbi_scan(emission, transition, initial, reset):
     return states_rev[::-1]
 
 
-def viterbi_path(emission, transition, initial=None, reset=None):
+def viterbi_path(emission, transition, initial=None, reset=None,
+                 parallel=False):
     """Most probable state path, with optional independent-segment resets.
 
     :param emission: (T, K) log-emissions (array-like, any float dtype).
@@ -84,6 +151,9 @@ def viterbi_path(emission, transition, initial=None, reset=None):
     :param initial: optional (K,) log-initial; defaults to uniform.
     :param reset: optional (T,) bool; True at frames that start a new
         independent segment (frame 0 is always a segment start).
+    :param parallel: use the log-depth associative-scan decode (fastest on
+        TPU for long sequences); the sequential scan matches the reference's
+        left-to-right rounding exactly and is the parity default.
     :return: (T,) int32 state sequence (device array).
     """
     emission = jnp.asarray(emission, jnp.float32)
@@ -98,7 +168,8 @@ def viterbi_path(emission, transition, initial=None, reset=None):
     else:
         reset = jnp.asarray(reset, bool)
     reset = reset.at[0].set(True)
-    return _viterbi_scan(emission, transition, initial, reset)
+    fn = _viterbi_parallel if parallel else _viterbi_scan
+    return fn(emission, transition, initial, reset)
 
 
 # ---------------------------------------------------------------------------

@@ -167,6 +167,24 @@ def read_h5(path):
     return spec, params
 
 
+def strip_final_softmax(spec):
+    """Copy of spec with the last softmax activation replaced by linear —
+    yields a logits forward for training losses."""
+    import copy
+
+    spec = copy.deepcopy(spec)
+    for e in reversed(spec["layers"]):
+        cfg = e["config"]
+        if e["class_name"] == "Softmax":
+            e["class_name"] = "Activation"
+            cfg["activation"] = "linear"
+            break
+        if cfg.get("activation") == "softmax":
+            cfg["activation"] = "linear"
+            break
+    return spec
+
+
 def build_forward(spec):
     """Compile a spec into `forward(params, x) -> y` (pure, jittable)."""
     entries = spec["layers"]

@@ -55,7 +55,15 @@ def _he(rng, shape, fan_in):
     return (rng.standard_normal(shape) * np.sqrt(2.0 / fan_in)).astype(np.float32)
 
 
-def build_patch_cnn(nmel, n_out, seed=0):
+_SIZES = {
+    # filters per conv block; 'full' approximates the reference's ~15 MB CNNs,
+    # 'small' keeps CPU tests fast
+    "full": [32, 64, 128, 128],
+    "small": [8, 16, 32, 32],
+}
+
+
+def build_patch_cnn(nmel, n_out, seed=0, size="full"):
     """Random patch CNN: (B, 68, nmel, 1) -> (B, n_out) softmax.
 
     Architecture in the spirit of the reference's ~15 MB CNN family:
@@ -66,8 +74,9 @@ def build_patch_cnn(nmel, n_out, seed=0):
     params = {}
     cin = 1
     h, w = 68, nmel
-    for i, (filt, pool) in enumerate([(32, (2, 1)), (64, (2, 2)),
-                                      (128, (2, 2)), (128, (2, 1))]):
+    filters = _SIZES[size]
+    for i, (filt, pool) in enumerate(zip(filters, [(2, 1), (2, 2),
+                                                   (2, 2), (2, 1)])):
         cname = f"conv{i}"
         layers.append(_conv(cname, filt, 3))
         params[cname] = [_he(rng, (3, 3, cin, filt), 9 * cin),
@@ -103,7 +112,7 @@ def build_gender_mlp(in_dim=256, hidden=128, seed=0):
     return spec, params
 
 
-def install_synthetic_models(directory, seed=0):
+def install_synthetic_models(directory, seed=0, size="full"):
     """Write the full synthetic model set (native .npz) into `directory`.
 
     Produces stand-ins for every CNN/MLP registry entry so the whole
@@ -115,9 +124,9 @@ def install_synthetic_models(directory, seed=0):
 
     os.makedirs(directory, exist_ok=True)
     todo = {
-        "keras_speech_music_cnn": lambda: build_patch_cnn(21, 2, seed),
-        "keras_speech_music_noise_cnn": lambda: build_patch_cnn(21, 3, seed + 1),
-        "keras_male_female_cnn": lambda: build_patch_cnn(24, 2, seed + 2),
+        "keras_speech_music_cnn": lambda: build_patch_cnn(21, 2, seed, size),
+        "keras_speech_music_noise_cnn": lambda: build_patch_cnn(21, 3, seed + 1, size),
+        "keras_male_female_cnn": lambda: build_patch_cnn(24, 2, seed + 2, size),
         "interspeech2023_all": lambda: build_gender_mlp(seed=seed + 3),
         "interspeech2023_cvfr": lambda: build_gender_mlp(seed=seed + 4),
     }

@@ -1,0 +1,6 @@
+from .mesh import make_mesh, make_2d_mesh, shard_batch, replicate
+from .engine import ParallelEngine
+from .jobs import JobServer, JobClient, client_work_loop
+
+__all__ = ["make_mesh", "make_2d_mesh", "shard_batch", "replicate",
+           "ParallelEngine", "JobServer", "JobClient", "client_work_loop"]

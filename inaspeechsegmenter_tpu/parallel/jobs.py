@@ -1,0 +1,164 @@
+"""Distributed job farm: pull-based lease server over TCP.
+
+Replaces the reference's Pyro4 RPC farm (reference
+scripts/ina_speech_segmenter_pyro_server.py:33-100) with a dependency-free
+JSON-lines TCP service preserving the exact semantics that make whole-corpus
+runs idempotent and elastic:
+
+* jobs come from a 2-column csv (source_path, dest_path), stripped,
+  de-duplicated and shuffled;
+* clients *pull* leases of `nbjobs` (default 20) jobs; a crashed client's
+  leased jobs are simply lost for that run and recovered by re-running with
+  `skipifexist=True`;
+* `set_jobs` can re-feed a running server; `stop_after_dispatch` ends the
+  serve loop once the queue is empty;
+* no acks, no heartbeats, results go to the shared filesystem.
+
+The server object is usable in-process without any networking (like the
+reference's tests exercise GenderJobServer directly).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+
+import pandas as pd
+
+
+class JobServer:
+    """In-process job queue with the GenderJobServer interface."""
+
+    def __init__(self, csvjobs=None):
+        self.lsource = []
+        self.ldest = []
+        self.i = 0
+        self._lock = threading.Lock()
+        if csvjobs is not None:
+            self.set_jobs(csvjobs)
+
+    def set_jobs(self, csvjobs):
+        df = pd.read_csv(csvjobs)
+        df.source_path = df.source_path.str.strip()
+        df.dest_path = df.dest_path.str.strip()
+        df = df.drop_duplicates().sample(frac=1).reset_index(drop=True)
+        print("setting jobs")
+        print("random source & dest path:", df.source_path[0], " ",
+              df.dest_path[0])
+        print("number of files to process:", len(df))
+        with self._lock:
+            self.lsource = list(df.source_path)
+            self.ldest = list(df.dest_path)
+            self.i = 0
+        return "%s jobs have been set" % csvjobs
+
+    def get_job(self, msg):
+        with self._lock:
+            print("job %d: %s" % (self.i, msg))
+            self.i += 1
+            return (self.lsource.pop(0), self.ldest.pop(0))
+
+    def get_njobs(self, msg, nbjobs=20):
+        with self._lock:
+            print("jobs %d-%d: %s" % (self.i, self.i + nbjobs, msg))
+            ret = (self.lsource[:nbjobs], self.ldest[:nbjobs])
+            if len(ret[0]) == 0:
+                print("All jobs dispatched")
+            self.lsource = self.lsource[nbjobs:]
+            self.ldest = self.ldest[nbjobs:]
+            self.i += nbjobs
+            return ret
+
+    def has_more_jobs(self):
+        with self._lock:
+            return len(self.lsource) > 0
+
+    # ------------------------------------------------------------------
+    def serve(self, host="0.0.0.0", port=0, stop_after_dispatch=False):
+        """Serve over TCP; returns (server, uri). Call server.shutdown() or
+        use stop_after_dispatch to end the loop."""
+        jobserver = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                for line in self.rfile:
+                    try:
+                        req = json.loads(line)
+                        method = getattr(jobserver, req["method"])
+                        result = method(*req.get("args", []),
+                                        **req.get("kwargs", {}))
+                        resp = {"result": result}
+                    except Exception as exc:  # report errors to the client
+                        resp = {"error": f"{type(exc).__name__}: {exc}"}
+                    self.wfile.write((json.dumps(resp) + "\n").encode())
+                    self.wfile.flush()
+                    if stop_after_dispatch and not jobserver.has_more_jobs():
+                        threading.Thread(target=srv.shutdown,
+                                         daemon=True).start()
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        srv = Server((host, port), Handler)
+        uri = "tcp://%s:%d" % srv.server_address[:2]
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        srv._thread = thread
+        print("Ready. Object uri =", uri)
+        return srv, uri
+
+
+class JobClient:
+    """TCP proxy with the same call surface as the server object."""
+
+    def __init__(self, uri):
+        assert uri.startswith("tcp://"), uri
+        host, port = uri[len("tcp://"):].rsplit(":", 1)
+        self.sock = socket.create_connection((host, int(port)))
+        self.rfile = self.sock.makefile("r")
+
+    def _call(self, method, *args, **kwargs):
+        payload = json.dumps({"method": method, "args": list(args),
+                              "kwargs": kwargs}) + "\n"
+        self.sock.sendall(payload.encode())
+        resp = json.loads(self.rfile.readline())
+        if "error" in resp:
+            raise RuntimeError(resp["error"])
+        return resp["result"]
+
+    def get_job(self, msg):
+        return tuple(self._call("get_job", msg))
+
+    def get_njobs(self, msg, nbjobs=20):
+        a, b = self._call("get_njobs", msg, nbjobs=nbjobs)
+        return list(a), list(b)
+
+    def set_jobs(self, csvjobs):
+        return self._call("set_jobs", csvjobs)
+
+    def has_more_jobs(self):
+        return self._call("has_more_jobs")
+
+    def close(self):
+        self.sock.close()
+
+
+def client_work_loop(uri, segmenter, hostname=None):
+    """Reference client loop (pyro_client.py:64-74): lease 20 jobs, process
+    with skipifexist=True / nbtry=3, repeat until the queue is empty."""
+    import socket as _socket
+
+    hostname = hostname or _socket.gethostname()
+    jobserver = JobClient(uri)
+    ret = -1
+    while True:
+        lsrc, ldst = jobserver.get_njobs("%s %s" % (hostname, ret))
+        if len(lsrc) == 0:
+            print("job list finished")
+            break
+        ret = segmenter.batch_process(lsrc, ldst, skipifexist=True, nbtry=3)
+    jobserver.close()
+    return ret

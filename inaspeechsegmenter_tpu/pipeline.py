@@ -66,6 +66,7 @@ class FusedPipeline:
                                    jnp.float32)
         self.v_init = jnp.full((self.vad_nout,),
                                float(np.log(1.0 / self.vad_nout)), jnp.float32)
+        self._jit_run = None
 
     # -- helpers (all traced) ----------------------------------------------
 
@@ -112,9 +113,8 @@ class FusedPipeline:
 
     # -- fused program ------------------------------------------------------
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _run(self, vad_params, g_params, mspec_pad, loge_pad, n_frames,
-             n_frames_patch, n20):
+    def _run_impl(self, vad_params, g_params, mspec_pad, loge_pad, n_frames,
+                  n_frames_patch, n20):
         energy20 = self._energy_states20(loge_pad, n_frames)
 
         probs_v = self._cnn_probs(self.vad_forward, vad_params, mspec_pad,
@@ -137,9 +137,11 @@ class FusedPipeline:
     def run(self, vad_params, g_params, mspec_pad, loge_pad, n_frames,
             n_frames_patch, n20):
         """Execute; returns (T20pad,) int32 device array of label ids."""
-        return self._run(vad_params, g_params, mspec_pad, loge_pad,
-                         jnp.int32(n_frames), jnp.int32(n_frames_patch),
-                         jnp.int32(n20))
+        if self._jit_run is None:
+            self._jit_run = jax.jit(self._run_impl)
+        return self._jit_run(vad_params, g_params, mspec_pad, loge_pad,
+                             jnp.int32(n_frames), jnp.int32(n_frames_patch),
+                             jnp.int32(n20))
 
     def __hash__(self):
         return id(self)

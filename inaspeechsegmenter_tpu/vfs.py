@@ -64,8 +64,9 @@ class JaxResnetExtractor:
     runs at its exact length like the reference (vbx_segmenter.py:234-243).
     """
 
-    def __init__(self, allow_download=True, params=None):
-        self.net = ResNet101XVector(feat_dim=FEAT_DIM, embed_dim=EMBED_DIM)
+    def __init__(self, allow_download=True, params=None, net=None):
+        self.net = net or ResNet101XVector(feat_dim=FEAT_DIM,
+                                           embed_dim=EMBED_DIM)
         if params is not None:
             self.params = params
         else:
@@ -137,11 +138,13 @@ class VoiceFemininityScoring:
     (vbx_segmenter.py:97-127)."""
 
     def __init__(self, gd_model_criteria="bgc", backend="jax",
-                 allow_download=True, xvector_params=None):
+                 allow_download=True, xvector_params=None, xvector_net=None,
+                 ffmpeg="ffmpeg"):
         assert backend in ["jax", "onnx", "pytorch"], \
             "backend is accepted for API parity; execution is always JAX"
         self.xvector_model = JaxResnetExtractor(allow_download,
-                                                params=xvector_params)
+                                                params=xvector_params,
+                                                net=xvector_net)
         assert gd_model_criteria in ["bgc", "vfp"], \
             "Gender detection model criteria must be 'bgc' or 'vfp'"
         if gd_model_criteria == "bgc":
@@ -153,7 +156,8 @@ class VoiceFemininityScoring:
         self.gender_detection_mlp_model = load_patch_model(
             gd_model, allow_download=allow_download)
         self.vad = Segmenter(vad_engine="smn", detect_gender=False,
-                             allow_download=allow_download)
+                             allow_download=allow_download, ffmpeg=ffmpeg)
+        self.ffmpeg = ffmpeg
         self.features = VbxFrontend()
 
     def apply_vad(self, xvectors, timeline: SpeechTimeline):
@@ -174,7 +178,7 @@ class VoiceFemininityScoring:
         """-> (score | None, speech_duration_s, n_retained_xvectors)."""
         basename = os.path.splitext(os.path.basename(fpath))[0]
 
-        signal = media2sig16kmono(fpath, dtype="float64")
+        signal = media2sig16kmono(fpath, ffmpeg=self.ffmpeg, dtype="float64")
         duration = len(signal) / SR
 
         vad_seg = self.vad(fpath)

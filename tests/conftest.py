@@ -11,11 +11,17 @@ import importlib.util
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = os.environ.get("ISS_TEST_PLATFORM", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags +
                                " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# sitecustomize may pre-register an 'axon' TPU platform that wins over the
+# env var; force the platform through the config API as well.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -75,7 +81,7 @@ def synthetic_model_dir(tmp_path_factory):
     from inaspeechsegmenter_tpu.models.synthetic import install_synthetic_models
 
     d = tmp_path_factory.mktemp("models")
-    install_synthetic_models(str(d))
+    install_synthetic_models(str(d), size="small")
     old = os.environ.get("ISS_TPU_MODEL_DIR")
     os.environ["ISS_TPU_MODEL_DIR"] = str(d)
     yield str(d)

@@ -1,0 +1,55 @@
+"""Data-parallel engine on the 8-device virtual CPU mesh: sharded batched
+segmentation must equal single-file results exactly."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def seg(synthetic_model_dir):
+    from inaspeechsegmenter_tpu import Segmenter
+
+    return Segmenter(vad_engine="smn", detect_gender=True, ffmpeg=None,
+                     allow_download=False)
+
+
+def test_mesh_has_8_devices():
+    import jax
+
+    assert len(jax.devices()) == 8
+
+
+def test_engine_matches_single(seg, media_dir):
+    from inaspeechsegmenter_tpu.parallel import ParallelEngine
+
+    engine = ParallelEngine(seg)
+    files = [f"{media_dir}/musanmix.wav", f"{media_dir}/lamartine.wav",
+             f"{media_dir}/silence2sec.wav"]
+    feats = [seg._media2feats(f, None, None) for f in files]
+    batched = engine.segment_many(feats)
+    for f, ids in zip(files, batched):
+        single = seg(f)
+        from inaspeechsegmenter_tpu.pipeline import rle
+
+        got = [(seg.labels[lab], start * .02, stop * .02)
+               for lab, start, stop in rle(ids)]
+        assert got == single, f
+
+
+def test_engine_batch_process(seg, media_dir, tmp_path):
+    from inaspeechsegmenter_tpu.parallel import ParallelEngine
+
+    engine = ParallelEngine(seg)
+    inputs = [f"{media_dir}/silence2sec.wav", f"{media_dir}/musanmix.wav",
+              "/nope.wav"]
+    outputs = [str(tmp_path / "s.csv"), str(tmp_path / "m.csv"),
+               str(tmp_path / "n.csv")]
+    dur, n_ok, avg, msgs = engine.batch_process(inputs, outputs)
+    assert n_ok == 2
+    assert sorted(m[1] for m in msgs) == [0, 0, 2]
+    with open(outputs[0]) as f:
+        assert f.read() == "labels\tstart\tstop\nnoEnergy\t0.0\t1.98\n"
+    # engine output must byte-match the single-file path
+    seg.batch_process([inputs[1]], [str(tmp_path / "m_single.csv")])
+    assert (tmp_path / "m.csv").read_text() == \
+        (tmp_path / "m_single.csv").read_text()

@@ -1,0 +1,57 @@
+"""VBx feature frontend parity vs the reference chain (dither -> mirror pad ->
+povey fbank -> CMVN), reference vbx_segmenter.py:72-89 + features_vbx.py."""
+
+import numpy as np
+
+from inaspeechsegmenter_tpu.dsp.vbx import (VbxFrontend, povey_window,
+                                            preprocess_signal)
+
+
+def _ref_features(ref_features_vbx, signal):
+    fv = ref_features_vbx
+    noverlap, winlen, sr, fdim = 240, 400, 16000, 64
+    window = fv.povey_window(winlen)
+    fbank_mx = fv.mel_fbank_mx(winlen, sr, NUMCHANS=fdim, LOFREQ=20.0,
+                               HIFREQ=7600, htk_bug=False)
+    np.random.seed(3)
+    sig = fv.add_dither((signal * 2 ** 15).astype(int))
+    seg = np.r_[sig[noverlap // 2 - 1::-1], sig, sig[-1:-winlen // 2 - 1:-1]]
+    fea = fv.fbank_htk(seg, window, noverlap, fbank_mx, USEPOWER=True,
+                       ZMEANSOURCE=True)
+    return fv.cmvn_floating_kaldi(fea, 150, 149, norm_vars=False).astype(np.float32)
+
+
+def test_povey_window(ref_features_vbx):
+    np.testing.assert_allclose(povey_window(400),
+                               ref_features_vbx.povey_window(400), atol=0)
+
+
+def test_preprocess_bit_exact(ref_features_vbx, rng):
+    """Seeded dither and mirror padding must match the reference bit-for-bit."""
+    sig = np.clip(rng.standard_normal(16000) * 0.1, -1, 1)
+    ours = preprocess_signal(sig)
+    np.random.seed(3)
+    ref = ref_features_vbx.add_dither((sig * 2 ** 15).astype(int))
+    ref = np.r_[ref[119::-1], ref, ref[-1:-201:-1]]
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_features_parity_random(ref_features_vbx, rng):
+    sig = np.clip(rng.standard_normal(16000 * 3) * 0.1, -1, 1)
+    ours = np.asarray(VbxFrontend().features(sig))
+    ref = _ref_features(ref_features_vbx, sig)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_features_parity_lamartine(ref_features_vbx, media_dir):
+    from inaspeechsegmenter_tpu.audio import read_wav
+
+    sig, sr = read_wav(f"{media_dir}/lamartine.wav", dtype="float64")
+    assert sr == 16000
+    ours = np.asarray(VbxFrontend().features(sig))
+    ref = _ref_features(ref_features_vbx, sig)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=5e-3)
+    # frame count matches the HTK convention
+    assert len(ours) == (len(sig) + 320 - 400) // 160 + 1

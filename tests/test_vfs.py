@@ -1,0 +1,107 @@
+"""Voice Femininity Scoring: timeline logic units + end-to-end with
+synthetic weights (reference vbx_segmenter.py:28-202 semantics)."""
+
+import numpy as np
+import pytest
+
+from inaspeechsegmenter_tpu.annotations import SpeechTimeline
+from inaspeechsegmenter_tpu.vfs import (add_needed_vectors,
+                                        get_femininity_score)
+
+
+def test_timeline_basic():
+    tl = SpeechTimeline([(1.0, 2.0), (3.0, 5.0)])
+    assert tl.total_duration() == 3.0
+    assert tl.contains_point(1.5)
+    assert not tl.contains_point(1.0)   # strict inequality like the reference
+    assert not tl.contains_point(2.5)
+    assert tl.overlap_duration(0.0, 10.0) == 3.0
+    assert tl.overlap_duration(1.5, 3.5) == pytest.approx(1.0)
+    assert tl.overlap_duration(2.1, 2.9) == 0.0
+
+
+def test_timeline_from_vad():
+    vad = [("noEnergy", 0, 1), ("speech", 1, 3), ("music", 3, 4),
+           ("speech", 4, 6)]
+    tl = SpeechTimeline.from_vad(vad)
+    assert len(tl) == 2
+    assert tl.total_duration() == 4.0
+
+
+def test_timeline_vs_bruteforce(rng):
+    bounds = np.sort(rng.uniform(0, 100, 40))
+    intervals = [(bounds[i], bounds[i + 1]) for i in range(0, 40, 4)]
+    tl = SpeechTimeline(intervals)
+    grid = np.linspace(0, 100, 5000)
+    for a, b in [(0, 100), (10, 30), (55.5, 56.5), (99, 100)]:
+        brute = sum(max(0.0, min(e, b) - max(s, a)) for s, e in intervals)
+        assert tl.overlap_duration(a, b) == pytest.approx(brute, abs=1e-9)
+    for m in grid[::37]:
+        brute = any(s < m < e for s, e in intervals)
+        assert tl.contains_point(m) == brute
+
+
+def test_add_needed_vectors():
+    # 10 windows total, only 2 kept -> back-fill to round(0.5*10)=5
+    kept = [(f"k{i}", (i, i + 1), np.ones(4)) for i in range(2)]
+    t_mid = [(0.1 * i, f"k{i}", (i, i + 1), np.ones(4)) for i in range(10)]
+    out = add_needed_vectors(list(kept), t_mid)
+    assert len(out) == 5
+    # reference skips the first len(kept) sorted entries (assumed already
+    # kept) and back-fills the next-best ones (vbx_segmenter.py:50)
+    assert {k for k, _, _ in out[2:]} == {"k7", "k6", "k5"}
+
+
+def test_femininity_score():
+    preds = [(0, 1, 0.9), (1, 2, 0.4), (2, 3, 0.5), (3, 4, 0.1)]
+    assert get_femininity_score(preds) == 0.5
+
+
+@pytest.fixture(scope="module")
+def vfs(synthetic_model_dir):
+    from inaspeechsegmenter_tpu import VoiceFemininityScoring
+    from inaspeechsegmenter_tpu.models.resnet import ResNetXVector
+
+    net = ResNetXVector("bottleneck", (1, 1, 1, 1), 8, 64, 256)
+    return VoiceFemininityScoring(
+        gd_model_criteria="vfp", allow_download=False, ffmpeg=None,
+        xvector_net=net, xvector_params=net.init_params(seed=7))
+
+
+def test_vfs_end_to_end(vfs, media_dir):
+    score, speech_dur, n = vfs(f"{media_dir}/lamartine.wav")
+    if speech_dur == 0:
+        # synthetic VAD CNN may classify everything as music/noise
+        assert score is None and n == 0
+    else:
+        assert 0.0 <= score <= 1.0
+        assert n > 0
+        assert speech_dur > 0
+
+
+def test_vfs_silence(vfs, media_dir):
+    """Silence has no speech -> (None, 0, 0), weight-independent."""
+    score, speech_dur, n = vfs(f"{media_dir}/silence2sec.wav")
+    assert score is None
+    assert speech_dur == 0
+    assert n == 0
+
+
+def test_window_layout(vfs, media_dir):
+    """x-vector windows follow the reference stride bookkeeping: starts at
+    multiples of 0.24 s, 1.44 s long, tail window at exact remaining length."""
+    rng = np.random.default_rng(0)
+    fea = rng.standard_normal((400, 64)).astype(np.float32)
+    xv = vfs.xvector_model("base", fea, 4.0)
+    # starts: range(0, 400-144, 24) -> 0..240 step 24 = 11 full windows
+    # tail: 400 - 240 - 24 = 136 >= 10 -> one more
+    assert len(xv) == 12
+    keys = [k for k, _, _ in xv]
+    assert keys[0] == "base_00000000-00000144"
+    assert keys[-1] == "base_00000264-00000400"
+    segs = [seg for _, seg, _ in xv]
+    assert segs[0] == (0.0, 1.44)
+    assert segs[1] == (0.24, 1.68)
+    assert segs[-1] == (2.64, 4.0)
+    for _, _, x in xv:
+        assert x.shape == (256,)

@@ -91,6 +91,22 @@ def test_reset_equals_per_segment_decode(ref_viterbi):
     np.testing.assert_array_equal(fused, per_seg)
 
 
+def test_parallel_equals_sequential():
+    """The log-depth associative-scan decode must match the sequential scan
+    (including segment resets and renormalization)."""
+    from inaspeechsegmenter_tpu.decode.viterbi import viterbi_path
+
+    rng = np.random.default_rng(29)
+    for t, k in [(64, 2), (1000, 3), (777, 4), (2, 2)]:
+        em = np.log(rng.dirichlet(np.ones(k), size=t)).astype(np.float32)
+        trans = diag_trans_exp(2, k)
+        reset = np.zeros(t, bool)
+        reset[rng.integers(0, t, size=4)] = True
+        seq = np.asarray(viterbi_path(em, trans, reset=reset))
+        par = np.asarray(viterbi_path(em, trans, reset=reset, parallel=True))
+        np.testing.assert_array_equal(seq, par)
+
+
 def test_long_sequence_float32_stability(ref_viterbi):
     """Renormalized f32 scan must track the f64 reference over long T."""
     rng = np.random.default_rng(23)
