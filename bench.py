@@ -25,23 +25,22 @@ def synth_audio(seconds, sr=16000, seed=0):
     rng = np.random.default_rng(seed)
     n = seconds * sr
     sig = np.zeros(n, np.float32)
-    t = np.arange(sr, dtype=np.float32) / sr
     pos = 0
     while pos < n:
         kind = rng.integers(0, 4)
         dur = int(rng.uniform(0.5, 8.0) * sr)
         end = min(pos + dur, n)
+        t = np.arange(end - pos, dtype=np.float32) / sr
         if kind == 0:
             pass  # silence
         elif kind == 1:  # noise burst
             sig[pos:end] = rng.standard_normal(end - pos) * 0.1
         elif kind == 2:  # tone stack (music-ish)
             f0 = rng.uniform(100, 1000)
-            seg = sum(np.sin(2 * np.pi * f0 * k * t[: end - pos])
-                      for k in range(1, 4)) * 0.1
-            sig[pos:end] = seg
+            sig[pos:end] = sum(np.sin(2 * np.pi * f0 * k * t)
+                               for k in range(1, 4)) * 0.1
         else:  # modulated noise (speech-ish)
-            env = 0.5 + 0.5 * np.sin(2 * np.pi * 4 * t[: end - pos])
+            env = 0.5 + 0.5 * np.sin(2 * np.pi * 4 * t)
             sig[pos:end] = rng.standard_normal(end - pos) * 0.15 * env
         pos = end
     return sig

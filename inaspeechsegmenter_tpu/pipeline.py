@@ -31,12 +31,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from .decode.transitions import log_trans_exp, diag_trans_exp
-from .decode.viterbi import _viterbi_scan
+from .decode.viterbi import _viterbi_scan, _viterbi_parallel
 from .dsp.patches import gather_normalized_patches
 
 CNN_CHUNK = 1024  # patches per CNN invocation inside lax.map
 EPS = 1e-10
+
+
+def default_viterbi_mode():
+    """'parallel' (log-depth associative scan) on accelerators, 'scan'
+    (sequential, reference-rounding-exact) on CPU; override with
+    ISS_VITERBI_MODE."""
+    mode = os.environ.get("ISS_VITERBI_MODE")
+    if mode in ("scan", "parallel"):
+        return mode
+    return "scan" if jax.default_backend() == "cpu" else "parallel"
 
 
 def _shift_right(x):
@@ -50,7 +62,9 @@ class FusedPipeline:
     :param gender: same tuple for the gender CNN, or None.
     """
 
-    def __init__(self, vad, gender=None, energy_ratio=0.03):
+    def __init__(self, vad, gender=None, energy_ratio=0.03, viterbi_mode=None):
+        mode = viterbi_mode or default_viterbi_mode()
+        self._viterbi = _viterbi_parallel if mode == "parallel" else _viterbi_scan
         self.vad_forward, self.vad_nmel, self.vad_nout, vad_arg = vad
         self.gender = gender
         if gender is not None:
@@ -83,7 +97,7 @@ class FusedPipeline:
         ], axis=1)
         reset = jnp.zeros(loge_pad.shape[0], bool)
         reset = reset.at[0].set(True).at[n_frames].set(True, mode="drop")
-        states = _viterbi_scan(em, self.e_trans, self.e_init, reset)
+        states = self._viterbi(em, self.e_trans, self.e_init, reset)
         return states[::2] == 1  # 20 ms energy activity
 
     def _cnn_probs(self, forward, params, mspec_pad, n_frames_patch, nmel, nout):
@@ -109,7 +123,7 @@ class FusedPipeline:
                        em, 0.0)
         reset = inmask != _shift_right(inmask)
         reset = reset.at[0].set(True).at[n20].set(True, mode="drop")
-        return _viterbi_scan(em, trans, init, reset)
+        return self._viterbi(em, trans, init, reset)
 
     # -- fused program ------------------------------------------------------
 

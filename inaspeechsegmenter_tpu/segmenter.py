@@ -259,10 +259,15 @@ class Segmenter:
                 return None, (dst, 2, "error: " + str(errmsg))
             return ret, (dst, 0, "ok")
 
+        # prefetch exactly one file ahead: the next file's decode+features
+        # overlap the current file's device inference (the reference's
+        # featGenerator/ThreadReturning pattern, segmenter.py:377-387)
         with ThreadPoolExecutor(max_workers=1) as pool:
-            futures = [pool.submit(produce, item) for item in lin]
-            for (src, dst), fut in zip(lin, futures):
+            fut = pool.submit(produce, lin[0]) if lin else None
+            for i, (src, dst) in enumerate(lin):
                 feats, msg = fut.result()
+                fut = (pool.submit(produce, lin[i + 1])
+                       if i + 1 < len(lin) else None)
                 lmsg.append(msg)
                 if verbose:
                     print("%d/%d" % (len(lmsg), len(linput)), [msg])
