@@ -48,12 +48,22 @@ def media2sig16kmono(medianame, start_sec=None, stop_sec=None, ffmpeg="ffmpeg",
                 f"or use ffmpeg. You gave medianame={medianame}."
             )
         sig, sr = read_wav(medianame, dtype=dtype)
-        assert sr == SR, (
-            f"Without ffmpeg, only files sampled at 16000 Hz are supported. "
-            f"The file {medianame} is sampled at {sr} Hz."
-        )
         if sig.ndim > 1:
             sig = sig.mean(axis=1)
+        if sr != SR:
+            # capability superset over the reference no-ffmpeg path: if the
+            # native resampler (native/issaudio.cc) is built, accept any WAV
+            # rate; otherwise keep the reference's 16 kHz-only contract
+            from . import native
+
+            if native.available():
+                sig = native.resample(sig.astype(np.float32), sr, SR)
+                return sig.astype(dtype)
+            assert sr == SR, (
+                f"Without ffmpeg, only files sampled at 16000 Hz are "
+                f"supported (build native/issaudio for resampling). "
+                f"The file {medianame} is sampled at {sr} Hz."
+            )
         return sig
 
     cmd = [ffmpeg, "-i", medianame, "-f", "wav", "-acodec", "pcm_s16le",

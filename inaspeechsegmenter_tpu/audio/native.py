@@ -1,0 +1,123 @@
+"""ctypes bindings for the native audio library (native/issaudio.cc).
+
+Provides WAV decode + mono mixdown + polyphase resampling to 16 kHz as a
+C++ shared library, replacing the reference's libsndfile/ffmpeg native
+surface for WAV inputs.  Falls back gracefully (returns None from
+`load_library`) when the library is not built — the pure-Python RIFF reader
+remains the portable path.
+
+Build: `make -C native` (writes libissaudio.so next to this module).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def load_library():
+    """Load libissaudio.so if present; returns ctypes lib or None."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    candidates = [
+        os.environ.get("ISS_AUDIO_LIB"),
+        os.path.join(os.path.dirname(__file__), "libissaudio.so"),
+    ]
+    for path in candidates:
+        if path and os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                continue
+            lib.iss_wav_info.restype = ctypes.c_int64
+            lib.iss_wav_info.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)]
+            lib.iss_wav_decode_f32.restype = ctypes.c_int64
+            lib.iss_wav_decode_f32.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+            lib.iss_resample.restype = ctypes.c_int64
+            lib.iss_resample.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+            _LIB = lib
+            return _LIB
+    return None
+
+
+def available():
+    return load_library() is not None
+
+
+def wav_info(blob: bytes):
+    """(samplerate, channels, n_frames, bits) or None."""
+    lib = load_library()
+    if lib is None:
+        return None
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    nf = ctypes.c_int64()
+    bits = ctypes.c_int32()
+    ret = lib.iss_wav_info(blob, len(blob), ctypes.byref(sr),
+                           ctypes.byref(ch), ctypes.byref(nf),
+                           ctypes.byref(bits))
+    if ret != 0:
+        return None
+    return sr.value, ch.value, nf.value, bits.value
+
+
+def decode_mono_f32(blob: bytes):
+    """Decode a WAV blob to mono float32; returns (signal, samplerate)."""
+    lib = load_library()
+    info = wav_info(blob)
+    if lib is None or info is None:
+        raise ValueError("native decode unavailable or not a WAV")
+    sr, _ch, n_frames, _bits = info
+    out = np.empty(n_frames, np.float32)
+    n = lib.iss_wav_decode_f32(
+        blob, len(blob), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_frames)
+    if n < 0:
+        raise ValueError("native WAV decode failed")
+    return out[:n], sr
+
+
+def resample(sig: np.ndarray, sr_in: int, sr_out: int = 16000):
+    """Polyphase sinc resample float32 mono signal."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native audio library not built (make -C native)")
+    sig = np.ascontiguousarray(sig, np.float32)
+    cap = int(len(sig) * sr_out / sr_in) + 16
+    out = np.empty(cap, np.float32)
+    n = lib.iss_resample(
+        sig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(sig),
+        sr_in, sr_out, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cap)
+    if n < 0:
+        raise ValueError("native resample failed")
+    return out[:n]
+
+
+def decode_to_16k_mono(path_or_blob):
+    """WAV file/bytes -> (16 kHz mono float32 signal). Uses the native
+    decoder + resampler; any input rate accepted."""
+    if isinstance(path_or_blob, (bytes, bytearray)):
+        blob = bytes(path_or_blob)
+    else:
+        with open(path_or_blob, "rb") as f:
+            blob = f.read()
+    sig, sr = decode_mono_f32(blob)
+    if sr != 16000:
+        sig = resample(sig, sr, 16000)
+    return sig

@@ -1,0 +1,211 @@
+// issaudio: native audio decode + resample for the TPU segmentation host path.
+//
+// The reference delegates its native audio surface to ffmpeg (subprocess) and
+// libsndfile (reference io.py:61-77).  This library provides a first-party
+// equivalent for the WAV container: RIFF parsing (PCM 8/16/24/32,
+// float32/64), mono mixdown, and a Kaiser-windowed polyphase sinc resampler
+// to 16 kHz, exposed through a minimal C ABI consumed via ctypes
+// (inaspeechsegmenter_tpu/audio/native.py).  Host-side only: the output
+// feeds pinned buffers into the JAX device pipeline.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct WavInfo {
+  int32_t sample_rate = 0;
+  int32_t channels = 0;
+  int32_t bits = 0;
+  int32_t format = 0;  // 1 = PCM, 3 = IEEE float
+  const uint8_t* data = nullptr;
+  int64_t data_len = 0;
+};
+
+uint32_t rd32(const uint8_t* p) {
+  return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+         ((uint32_t)p[3] << 24);
+}
+uint16_t rd16(const uint8_t* p) {
+  return (uint16_t)p[0] | ((uint16_t)p[1] << 8);
+}
+
+bool parse_wav(const uint8_t* buf, int64_t len, WavInfo* info) {
+  if (len < 12 || memcmp(buf, "RIFF", 4) != 0 || memcmp(buf + 8, "WAVE", 4) != 0)
+    return false;
+  int64_t pos = 12;
+  bool have_fmt = false;
+  while (pos + 8 <= len) {
+    const uint8_t* hdr = buf + pos;
+    uint32_t size = rd32(hdr + 4);
+    const uint8_t* payload = hdr + 8;
+    // streamed WAVs may carry bogus chunk sizes; clamp to buffer
+    int64_t avail = len - (pos + 8);
+    int64_t psize = (int64_t)size;
+    if (psize > avail) psize = avail;
+    if (memcmp(hdr, "fmt ", 4) == 0 && psize >= 16) {
+      info->format = rd16(payload);
+      info->channels = rd16(payload + 2);
+      info->sample_rate = (int32_t)rd32(payload + 4);
+      info->bits = rd16(payload + 14);
+      if (info->format == 0xFFFE && psize >= 40)  // extensible
+        info->format = rd16(payload + 24);
+      have_fmt = true;
+    } else if (memcmp(hdr, "data", 4) == 0) {
+      info->data = payload;
+      info->data_len = psize;
+      if (have_fmt) return true;
+    }
+    pos += 8 + psize + (psize & 1);
+  }
+  return have_fmt && info->data != nullptr;
+}
+
+double sample_at(const WavInfo& w, int64_t frame, int32_t ch) {
+  int64_t idx = frame * w.channels + ch;
+  const uint8_t* p;
+  switch (w.bits) {
+    case 8:
+      p = w.data + idx;
+      return ((int32_t)*p - 128) / 128.0;
+    case 16:
+      p = w.data + idx * 2;
+      return (int16_t)rd16(p) / 32768.0;
+    case 24: {
+      p = w.data + idx * 3;
+      int32_t v = (int32_t)p[0] | ((int32_t)p[1] << 8) | ((int32_t)p[2] << 16);
+      v = (v << 8) >> 8;
+      return v / 8388608.0;
+    }
+    case 32:
+      p = w.data + idx * 4;
+      if (w.format == 3) {
+        float f;
+        memcpy(&f, p, 4);
+        return f;
+      }
+      return (int32_t)rd32(p) / 2147483648.0;
+    case 64: {
+      p = w.data + idx * 8;
+      double d;
+      memcpy(&d, p, 8);
+      return d;
+    }
+    default:
+      return 0.0;
+  }
+}
+
+double bessel_i0(double x) {
+  // modified Bessel function of the first kind, order 0 (series)
+  double sum = 1.0, term = 1.0;
+  for (int k = 1; k < 64; ++k) {
+    term *= (x / (2.0 * k)) * (x / (2.0 * k));
+    sum += term;
+    if (term < 1e-16 * sum) break;
+  }
+  return sum;
+}
+
+int64_t gcd64(int64_t a, int64_t b) { return b == 0 ? a : gcd64(b, a % b); }
+
+}  // namespace
+
+extern "C" {
+
+// Fill (sr, channels, n_frames, format); returns 0 on success, -1 on error.
+int64_t iss_wav_info(const uint8_t* data, int64_t len, int32_t* sr,
+                     int32_t* channels, int64_t* n_frames, int32_t* bits) {
+  WavInfo w;
+  if (!parse_wav(data, len, &w) || w.channels <= 0 || w.bits <= 0) return -1;
+  *sr = w.sample_rate;
+  *channels = w.channels;
+  *bits = w.bits;
+  *n_frames = w.data_len / ((int64_t)w.channels * (w.bits / 8));
+  return 0;
+}
+
+// Decode + mono mixdown to float32. Returns frames written or -1.
+int64_t iss_wav_decode_f32(const uint8_t* data, int64_t len, float* out,
+                           int64_t out_cap) {
+  WavInfo w;
+  if (!parse_wav(data, len, &w) || w.channels <= 0 || w.bits <= 0) return -1;
+  int64_t frames = w.data_len / ((int64_t)w.channels * (w.bits / 8));
+  if (frames > out_cap) frames = out_cap;
+  for (int64_t i = 0; i < frames; ++i) {
+    double acc = 0.0;
+    for (int32_t c = 0; c < w.channels; ++c) acc += sample_at(w, i, c);
+    out[i] = (float)(acc / w.channels);
+  }
+  return frames;
+}
+
+// Rational polyphase resampler (Kaiser-windowed sinc, 24 taps/phase).
+// Returns output samples written, or -1 on error.
+int64_t iss_resample(const float* in, int64_t n, int32_t sr_in,
+                     int32_t sr_out, float* out, int64_t out_cap) {
+  if (sr_in <= 0 || sr_out <= 0 || n < 0) return -1;
+  if (sr_in == sr_out) {
+    int64_t m = n < out_cap ? n : out_cap;
+    memcpy(out, in, (size_t)m * sizeof(float));
+    return m;
+  }
+  int64_t g = gcd64(sr_in, sr_out);
+  int64_t L = sr_out / g;  // upsample factor
+  int64_t M = sr_in / g;   // downsample factor
+
+  const int kTaps = 24;  // taps per phase
+  double cutoff = 0.5 * (L > M ? 1.0 / L : 1.0 / M) * 0.92;  // normalized
+  double beta = 9.0;
+  double i0b = bessel_i0(beta);
+
+  // filter bank: L phases x kTaps
+  std::vector<double> fb((size_t)(L * kTaps));
+  int64_t half = (int64_t)kTaps * L / 2;
+  for (int64_t p = 0; p < L; ++p) {
+    double sum = 0.0;
+    for (int t = 0; t < kTaps; ++t) {
+      // tap index in the prototype filter
+      int64_t k = (int64_t)t * L + p;
+      double x = (double)(k - half);
+      double sinc = x == 0.0 ? 2.0 * cutoff * L
+                             : sin(2.0 * M_PI * cutoff * L * (x / L)) / (M_PI * x / L) / L;
+      double r = x / (double)half;
+      double w = (r <= -1.0 || r >= 1.0) ? 0.0
+                 : bessel_i0(beta * sqrt(1.0 - r * r)) / i0b;
+      fb[(size_t)(p * kTaps + t)] = sinc * w * L;
+      sum += sinc * w * L;
+    }
+    (void)sum;
+  }
+  // normalize each phase to unit DC gain
+  for (int64_t p = 0; p < L; ++p) {
+    double s = 0.0;
+    for (int t = 0; t < kTaps; ++t) s += fb[(size_t)(p * kTaps + t)];
+    if (s != 0.0)
+      for (int t = 0; t < kTaps; ++t) fb[(size_t)(p * kTaps + t)] /= s;
+  }
+
+  int64_t n_out = (n * L) / M;
+  if (n_out > out_cap) n_out = out_cap;
+  for (int64_t j = 0; j < n_out; ++j) {
+    int64_t num = j * M;
+    int64_t in_idx = num / L;          // input sample index
+    int64_t phase = num % L;
+    double acc = 0.0;
+    const double* h = &fb[(size_t)(phase * kTaps)];
+    for (int t = 0; t < kTaps; ++t) {
+      int64_t idx = in_idx + (int64_t)(kTaps / 2) - t;
+      double v = (idx < 0 || idx >= n) ? 0.0 : in[idx];
+      acc += h[t] * v;
+    }
+    out[j] = (float)acc;
+  }
+  return n_out;
+}
+
+const char* iss_version() { return "issaudio-0.1.0"; }
+
+}  // extern "C"
