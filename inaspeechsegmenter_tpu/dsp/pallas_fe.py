@@ -11,17 +11,20 @@ never exists.
 TPU mapping: everything linear is folded into matmul operands at build time.
 Pre-emphasis is a per-frame linear map Pm, the window a diagonal, the DFT a
 dense matrix — so `spec = |(preemph(frame) * w) @ D|^2` becomes
-`|frame @ (Pm · diag(w) · D)|^2`, and framing's 400-sample windows over a
-160-hop are expressed by *splitting each operand into three row blocks*
-(rows [0:160), [160:320), [320:400)) applied to three consecutive row-slices
-of the signal laid out as (rows, 160):
+`|frame @ (Pm · diag(w) · D)|^2`.  Framing's 400-sample windows over a
+160-hop never materialize either: the signal is laid out as lane-aligned
+(rows, 256) tiles holding 160 valid samples each, and each operand is split
+into three row blocks applied to three consecutive row-slices:
 
-    frame_i = [s[i], s[i+1], s[i+2][:80]]            (concat, lane-misaligned)
-    frame_i @ M = s[i] @ M0 + s[i+1] @ M1 + s[i+2][:,:80] @ M2   (pure MXU)
+    frame_i = [row_i[:160], row_{i+1}[:160], row_{i+2}[:80]]
+    frame_i @ M = row_i @ M0' + row_{i+1} @ M1' + row_{i+2} @ M2'
 
-No concats, no gathers, no shuffles — just nine MXU matmuls per block plus
-elementwise VPU work.  Numerics match the jnp frontend (dsp/sidekit.py) to
-float32 rounding; both are parity-tested against the numpy reference.
+where Mk' are (256, N) blocks with zeros in the padding rows — the lane
+padding costs a little MXU K-dim but removes every unaligned slice.  The
+kernel is nine MXU matmuls plus elementwise VPU work per 256-frame block.
+
+Numerics match the jnp frontend (dsp/sidekit.py) to float32 rounding; both
+are parity-tested against the numpy reference.
 """
 
 from __future__ import annotations
@@ -36,10 +39,11 @@ from .mel import htk_triangular_fbank
 from .sidekit import _dft_matrices, WIN, HOP, NFFT, CHUNK
 
 B = 256             # frames per grid program
+LANES = 256         # lane-aligned samples per signal row (HOP=160 valid)
 NPAD = 384          # padded DFT bins (257 -> 3*128 lanes)
 PPAD = 512          # padded pre-emphasis output lanes (400 -> 4*128)
 OUT_LANES = 32      # packed output: 24 mel + 1 loge + 7 pad
-SLICE_ROWS = B + 3  # signal rows of HOP samples loaded per program
+SLICE_ROWS = B + 8  # signal rows DMA'd per program (8-aligned; 2 extra used)
 
 
 def _preemph_matrix(prefac):
@@ -53,10 +57,16 @@ def _preemph_matrix(prefac):
 
 
 def _row_blocks(m):
-    """Split a (WIN, N) operand into the three framing row blocks."""
-    return (np.ascontiguousarray(m[0:HOP]),
-            np.ascontiguousarray(m[HOP:2 * HOP]),
-            np.ascontiguousarray(m[2 * HOP:WIN]))
+    """Split a (WIN, N) operand into three (LANES, N) blocks matching the
+    lane-padded signal rows (zeros in pad rows)."""
+    n = m.shape[1]
+    b0 = np.zeros((LANES, n))
+    b1 = np.zeros((LANES, n))
+    b2 = np.zeros((LANES, n))
+    b0[:HOP] = m[0:HOP]
+    b1[:HOP] = m[HOP:2 * HOP]
+    b2[: WIN - 2 * HOP] = m[2 * HOP: WIN]
+    return b0, b1, b2
 
 
 class PallasSidekitFrontend:
@@ -96,14 +106,13 @@ class PallasSidekitFrontend:
                                 for b in _row_blocks(pp))
 
     @partial(jax.jit, static_argnames=("self",))
-    def _features_padded(self, sig_pad):
+    def _features_padded(self, sig2d):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        n_rows = sig_pad.shape[0] // HOP
-        t_pad = n_rows - 3
+        n_rows = sig2d.shape[0]
+        t_pad = n_rows - (SLICE_ROWS - B)
         grid = t_pad // B
-        sig2d = sig_pad.reshape(n_rows, HOP)
 
         const_spec = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda g: (0, 0), memory_space=pltpu.VMEM)
@@ -111,22 +120,22 @@ class PallasSidekitFrontend:
             _kernel,
             grid=(grid,),
             in_specs=[
-                # raw signal stays in HBM; each program DMAs its overlapping
-                # (B+3)-row slice into VMEM scratch itself
+                # signal stays in HBM; each program DMAs its overlapping
+                # row slice into VMEM scratch itself
                 pl.BlockSpec(memory_space=pl.ANY),
-                const_spec((HOP, NPAD)), const_spec((HOP, NPAD)),
-                const_spec((WIN - 2 * HOP, NPAD)),
-                const_spec((HOP, NPAD)), const_spec((HOP, NPAD)),
-                const_spec((WIN - 2 * HOP, NPAD)),
-                const_spec((HOP, PPAD)), const_spec((HOP, PPAD)),
-                const_spec((WIN - 2 * HOP, PPAD)),
+                const_spec((LANES, NPAD)), const_spec((LANES, NPAD)),
+                const_spec((LANES, NPAD)),
+                const_spec((LANES, NPAD)), const_spec((LANES, NPAD)),
+                const_spec((LANES, NPAD)),
+                const_spec((LANES, PPAD)), const_spec((LANES, PPAD)),
+                const_spec((LANES, PPAD)),
                 const_spec((NPAD, OUT_LANES)),
             ],
             out_specs=pl.BlockSpec((B, OUT_LANES), lambda g: (g, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((t_pad, OUT_LANES), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((SLICE_ROWS, HOP), jnp.float32),
+                pltpu.VMEM((SLICE_ROWS, LANES), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
             ],
             interpret=self.interpret,
@@ -142,12 +151,16 @@ class PallasSidekitFrontend:
         want = t if pad_frames_to is None else max(t, pad_frames_to)
         n_chunks = max(1, -(-want // CHUNK))
         t_pad = n_chunks * CHUNK
-        need = (t_pad + 3) * HOP
+        n_rows = t_pad + SLICE_ROWS - B
+        need = n_rows * HOP
         if len(sig) < need:
             sig = np.pad(sig, (0, need - len(sig)))
         else:
             sig = sig[:need]
-        mspec, loge = self._features_padded(jnp.asarray(sig))
+        # lane-aligned layout: each row holds HOP valid samples + zero pad
+        sig2d = np.zeros((n_rows, LANES), np.float32)
+        sig2d[:, :HOP] = sig.reshape(n_rows, HOP)
+        mspec, loge = self._features_padded(jnp.asarray(sig2d))
         return mspec, loge, t
 
     def mspec_loge_np(self, sig):
@@ -171,15 +184,17 @@ def _kernel(sig_hbm, c0, c1, c2, s0, s1, s2, p0, p1, p2, fbank_ref,
         sig_hbm.at[pl.ds(g * B, SLICE_ROWS), :], scratch, sem)
     dma.start()
     dma.wait()
-    s = scratch[...]                                   # (SLICE_ROWS, HOP)
+    s = scratch[...]                                   # (SLICE_ROWS, LANES)
     f0 = s[0:B, :]
-    f1 = s[1:B + 1, :]
-    f2 = s[2:B + 2, 0: WIN - 2 * HOP]
+    # rows shifted up by 1 / 2 (circular; wrapped tail rows land past B and
+    # are never read)
+    f1 = pltpu.roll(s, SLICE_ROWS - 1, 0)[0:B, :]
+    f2 = pltpu.roll(s, SLICE_ROWS - 2, 0)[0:B, :]
 
     def fr_matmul(a0, a1, a2):
-        acc = jnp.dot(f0, a0[...], preferred_element_type=jnp.float32)
-        acc += jnp.dot(f1, a1[...], preferred_element_type=jnp.float32)
-        acc += jnp.dot(f2, a2[...], preferred_element_type=jnp.float32)
+        acc = jnp.dot(f0, a0[...], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        acc += jnp.dot(f1, a1[...], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        acc += jnp.dot(f2, a2[...], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         return acc
 
     pf = fr_matmul(p0, p1, p2)                         # (B, PPAD) pre-emphasized
@@ -187,7 +202,7 @@ def _kernel(sig_hbm, c0, c1, c2, s0, s1, s2, p0, p1, p2, fbank_ref,
     re = fr_matmul(c0, c1, c2)                         # (B, NPAD)
     im = fr_matmul(s0, s1, s2)
     spec = re * re + im * im
-    mel = jnp.dot(spec, fbank_ref[...], preferred_element_type=jnp.float32)
+    mel = jnp.dot(spec, fbank_ref[...], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     out = jnp.log(mel)
     lane = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
     out_ref[...] = jnp.where(lane == 24, loge, out)
