@@ -77,10 +77,17 @@ class SidekitFrontend:
 
     # ---- core chunk computation ------------------------------------------
     def _chunk_feats(self, sig_slice):
-        """(CHUNK*HOP + WIN - HOP,) samples -> ((CHUNK,nmel) mspec, (CHUNK,) loge)."""
-        starts = jnp.arange(CHUNK) * HOP
-        idx = starts[:, None] + jnp.arange(WIN)[None, :]
-        frames = sig_slice[idx]                                   # (C, WIN)
+        """((CHUNK+2)*HOP,) samples -> ((CHUNK,nmel) mspec, (CHUNK,) loge).
+
+        Framing without gathers: the slice viewed as (CHUNK+2, HOP) rows
+        turns each 400-sample window into rows i, i+1 and the first 80
+        lanes of i+2 — element gathers run on the TPU scalar core and are
+        ~100x slower than these strided slices."""
+        s2 = sig_slice.reshape(CHUNK + 2, HOP)
+        f0 = s2[0:CHUNK]
+        f1 = s2[1:CHUNK + 1]
+        f2 = s2[2:CHUNK + 2, : WIN - 2 * HOP]
+        frames = jnp.concatenate([f0, f1, f2], axis=1)            # (C, WIN)
         # per-frame pre-emphasis (first sample against itself)
         shifted = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
         frames = frames - self.prefac * shifted
@@ -95,11 +102,11 @@ class SidekitFrontend:
 
     @partial(jax.jit, static_argnames=("self",))
     def _features_padded(self, sig_pad):
-        n_chunks = (sig_pad.shape[0] - (WIN - HOP)) // (CHUNK * HOP)
+        n_chunks = (sig_pad.shape[0] - 2 * HOP) // (CHUNK * HOP)
 
         def one(i):
             s = jax.lax.dynamic_slice(
-                sig_pad, (i * CHUNK * HOP,), (CHUNK * HOP + WIN - HOP,))
+                sig_pad, (i * CHUNK * HOP,), ((CHUNK + 2) * HOP,))
             return self._chunk_feats(s)
 
         mspec, loge = jax.lax.map(one, jnp.arange(n_chunks))
@@ -119,7 +126,7 @@ class SidekitFrontend:
         t = frame_count(len(sig))
         want = t if pad_frames_to is None else max(t, pad_frames_to)
         n_chunks = max(1, -(-want // CHUNK))
-        need = n_chunks * CHUNK * HOP + (WIN - HOP)
+        need = (n_chunks * CHUNK + 2) * HOP
         if len(sig) < need:
             sig = np.pad(sig, (0, need - len(sig)))
         else:

@@ -35,7 +35,7 @@ import os
 
 from .decode.transitions import log_trans_exp, diag_trans_exp
 from .decode.viterbi import _viterbi_scan, _viterbi_parallel
-from .dsp.patches import gather_normalized_patches
+from .dsp.patches import normalized_windows_ext, LPAD
 
 CNN_CHUNK = 1024  # patches per CNN invocation inside lax.map
 EPS = 1e-10
@@ -105,12 +105,21 @@ class FusedPipeline:
         nb = t20 // CNN_CHUNK
         assert t20 % CNN_CHUNK == 0, (t20, CNN_CHUNK)
 
+        norm_ext, fin_ext, last_norm, last_fin, n_rows = \
+            normalized_windows_ext(mspec_pad, n_frames_patch, nmel)
+
         def chunk(ib):
-            j = ib * CNN_CHUNK + jnp.arange(CNN_CHUNK)
-            patches, finite = gather_normalized_patches(
-                mspec_pad, j, n_frames_patch, nmel)
+            j0 = ib * CNN_CHUNK
+            sl = jax.lax.dynamic_slice(
+                norm_ext, (j0, 0), (CNN_CHUNK, norm_ext.shape[1]))
+            fin = jax.lax.dynamic_slice(fin_ext, (j0,), (CNN_CHUNK,))
+            j = j0 + jnp.arange(CNN_CHUNK)
+            over = j > n_rows + (LPAD - 1)   # right replicate edge
+            sl = jnp.where(over[:, None], last_norm, sl)
+            fin = jnp.where(over, last_fin[0], fin)
+            patches = sl.reshape(CNN_CHUNK, 68, nmel)
             p = forward(params, patches[..., None])
-            return jnp.where(finite[:, None], p, 0.5)
+            return jnp.where(fin[:, None], p, 0.5)
 
         probs = jax.lax.map(chunk, jnp.arange(nb))
         return probs.reshape(t20, nout)
