@@ -47,6 +47,8 @@ def synth_audio(seconds, sr=16000, seed=0):
 
 
 def main():
+    from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     d = os.path.expanduser("~/.cache/inaspeechsegmenter_tpu")
     from inaspeechsegmenter_tpu.models.synthetic import install_synthetic_models
 
@@ -59,7 +61,10 @@ def main():
     seg = Segmenter(vad_engine="smn", detect_gender=True, ffmpeg=None,
                     allow_download=False)
 
-    sig = synth_audio(seconds)
+    # PCM16 like real broadcast sources: int16 halves the device upload and
+    # converts to identical float32 on device
+    sig = np.clip(np.rint(synth_audio(seconds) * 32768.0),
+                  -32768, 32767).astype(np.int16)
 
     def run():
         from inaspeechsegmenter_tpu.dsp.sidekit import frame_count, CHUNK

@@ -32,8 +32,14 @@ def media2sig16kmono(medianame, start_sec=None, stop_sec=None, ffmpeg="ffmpeg",
                      dtype="float64"):
     """Decode a media file to a 16 kHz mono signal.
 
-    :return: 1-D numpy array of the requested dtype.
+    :param dtype: numpy dtype, or 'auto' — 'auto' returns int16 when the
+        source is losslessly 16-bit PCM mono (halving host->device transfer;
+        int16/2^15 converts to the identical float32 on device) and float32
+        otherwise.
+    :return: 1-D numpy array.
     """
+    if dtype == "auto":
+        return _media2sig_auto(medianame, start_sec, stop_sec, ffmpeg)
     if ffmpeg is None:
         if start_sec is not None or stop_sec is not None:
             raise NotImplementedError(
@@ -82,6 +88,36 @@ def media2sig16kmono(medianame, start_sec=None, stop_sec=None, ffmpeg="ffmpeg",
     sig, sr = read_wav(_fix_streamed_riff(proc.stdout), dtype=dtype)
     assert sr == SR
     return sig
+
+
+def _media2sig_auto(medianame, start_sec, stop_sec, ffmpeg):
+    if ffmpeg is not None:
+        # ffmpeg emits pcm_s16le: int16 is always exact on this path
+        return media2sig16kmono(medianame, start_sec, stop_sec, ffmpeg,
+                                "int16")
+    from .wav import read_wav, _read_chunks  # noqa: F401
+    import struct
+
+    if (start_sec is not None or stop_sec is not None
+            or medianame.startswith("http://")
+            or medianame.startswith("https://")):
+        # delegate to the float path, which enforces (and raises) the
+        # reference no-ffmpeg restrictions
+        return media2sig16kmono(medianame, start_sec, stop_sec, ffmpeg,
+                                "float32")
+    try:
+        with open(medianame, "rb") as f:
+            head = f.read(1024)
+        idx = head.find(b"fmt ")
+        if idx >= 0:
+            fmt = struct.unpack("<HHIIHH", head[idx + 8: idx + 24])
+            code, channels, sr, _, _, bits = fmt
+            if code == 1 and bits == 16 and channels == 1 and sr == SR:
+                sig, sr = read_wav(medianame, dtype="int16")
+                return sig
+    except (OSError, struct.error):
+        pass
+    return media2sig16kmono(medianame, start_sec, stop_sec, ffmpeg, "float32")
 
 
 def _fix_streamed_riff(blob: bytes) -> bytes:

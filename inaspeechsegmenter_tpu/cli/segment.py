@@ -69,6 +69,9 @@ def main(argv=None):
     odir = args.output_directory.strip(' \t\n\r').rstrip('/')
     assert os.access(odir, os.W_OK), 'Directory %s is not writable!' % odir
 
+    from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from inaspeechsegmenter_tpu import Segmenter
 
     detect_gender = args.detect_gender.lower() == 'true'

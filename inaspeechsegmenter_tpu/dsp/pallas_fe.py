@@ -106,11 +106,17 @@ class PallasSidekitFrontend:
                                 for b in _row_blocks(pp))
 
     @partial(jax.jit, static_argnames=("self",))
-    def _features_padded(self, sig2d):
+    def _features_padded(self, sig_pad):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        n_rows = sig2d.shape[0]
+        if sig_pad.dtype == jnp.int16:
+            # device-side PCM16 -> float32 (int16/2^15 is exact)
+            sig_pad = sig_pad.astype(jnp.float32) * np.float32(1 / 32768.0)
+        # lane-aligned layout built on device: (n_rows, HOP) -> pad to LANES
+        n_rows = sig_pad.shape[0] // HOP
+        sig2d = jnp.pad(sig_pad.reshape(n_rows, HOP),
+                        ((0, 0), (0, LANES - HOP)))
         t_pad = n_rows - (SLICE_ROWS - B)
         grid = t_pad // B
 
@@ -146,7 +152,8 @@ class PallasSidekitFrontend:
     def mspec_loge(self, sig, pad_frames_to=None):
         from .sidekit import frame_count
 
-        sig = np.ascontiguousarray(sig, dtype=np.float32)
+        keep = np.int16 if np.asarray(sig).dtype == np.int16 else np.float32
+        sig = np.ascontiguousarray(sig, dtype=keep)
         t = frame_count(len(sig))
         want = t if pad_frames_to is None else max(t, pad_frames_to)
         n_chunks = max(1, -(-want // CHUNK))
@@ -157,10 +164,7 @@ class PallasSidekitFrontend:
             sig = np.pad(sig, (0, need - len(sig)))
         else:
             sig = sig[:need]
-        # lane-aligned layout: each row holds HOP valid samples + zero pad
-        sig2d = np.zeros((n_rows, LANES), np.float32)
-        sig2d[:, :HOP] = sig.reshape(n_rows, HOP)
-        mspec, loge = self._features_padded(jnp.asarray(sig2d))
+        mspec, loge = self._features_padded(jnp.asarray(sig))
         return mspec, loge, t
 
     def mspec_loge_np(self, sig):

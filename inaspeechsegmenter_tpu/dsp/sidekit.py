@@ -102,6 +102,9 @@ class SidekitFrontend:
 
     @partial(jax.jit, static_argnames=("self",))
     def _features_padded(self, sig_pad):
+        if sig_pad.dtype == jnp.int16:
+            # device-side PCM16 -> float32 (int16/2^15 is exact)
+            sig_pad = sig_pad.astype(jnp.float32) * np.float32(1 / 32768.0)
         n_chunks = (sig_pad.shape[0] - 2 * HOP) // (CHUNK * HOP)
 
         def one(i):
@@ -122,7 +125,8 @@ class SidekitFrontend:
         :param pad_frames_to: optionally force at least this many (padded)
             frames, to stabilize jit cache keys across files.
         """
-        sig = np.ascontiguousarray(sig, dtype=np.float32)
+        keep = np.int16 if np.asarray(sig).dtype == np.int16 else np.float32
+        sig = np.ascontiguousarray(sig, dtype=keep)
         t = frame_count(len(sig))
         want = t if pad_frames_to is None else max(t, pad_frames_to)
         n_chunks = max(1, -(-want // CHUNK))

@@ -161,8 +161,11 @@ class Segmenter:
         short-media pad-to-68-frames-with-min behavior.
         """
         with self.timers.time("decode"):
+            # 'auto' keeps losslessly-PCM16 sources as int16 so the device
+            # upload is half-size; conversion to the identical float32
+            # happens on device
             sig = media2sig16kmono(medianame, start_sec, stop_sec,
-                                   self.ffmpeg, "float32")
+                                   self.ffmpeg, "auto")
         with self.timers.time("features"):
             t = frame_count(len(sig))
             bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK

@@ -64,6 +64,30 @@ def test_frame_count_and_energy_semantics(frontend, ref_sidekit, rng):
     np.testing.assert_allclose(loge, ref_loge, rtol=1e-4, atol=1e-4)
 
 
+def test_int16_input_identical(frontend, rng):
+    """int16 input with device-side conversion must equal the float32 path
+    bit-for-bit (int16/2^15 is exactly representable)."""
+    i16 = (rng.standard_normal(16000) * 8000).astype(np.int16)
+    f32 = i16.astype(np.float32) / 32768.0
+    m1, l1 = frontend.mspec_loge_np(i16)
+    m2, l2 = frontend.mspec_loge_np(f32)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_media2sig_auto(media_dir):
+    """'auto' dtype returns int16 for PCM16-mono-16k sources, equivalent to
+    the float32 read."""
+    from inaspeechsegmenter_tpu.audio import media2sig16kmono
+
+    a = media2sig16kmono(f"{media_dir}/musanmix.wav", ffmpeg=None,
+                         dtype="auto")
+    assert a.dtype == np.int16
+    f = media2sig16kmono(f"{media_dir}/musanmix.wav", ffmpeg=None,
+                         dtype="float32")
+    np.testing.assert_array_equal(a.astype(np.float32) / 32768.0, f)
+
+
 def test_cepstra_parity(frontend, ref_sidekit, rng):
     sig = (rng.standard_normal(16000 * 2) * 0.2).astype(np.float32)
     mspec, _ = frontend.mspec_loge_np(sig)

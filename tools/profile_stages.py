@@ -23,6 +23,8 @@ def timeit(fn, n=3):
 
 
 def main():
+    from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     d = os.path.expanduser("~/.cache/inaspeechsegmenter_tpu")
     from inaspeechsegmenter_tpu.models.synthetic import install_synthetic_models
