@@ -96,7 +96,7 @@ def build_patch_cnn(nmel, n_out, seed=0, size="full"):
     layers.append(_dense("out", n_out, "softmax"))
     params["out"] = [_he(rng, (256, n_out), 256), np.zeros(n_out, np.float32)]
 
-    spec = dict(layers=layers, inputs=None, outputs=None)
+    spec = dict(layers=layers, inputs=None, outputs=None, synthetic=True)
     return spec, params
 
 
@@ -108,7 +108,7 @@ def build_gender_mlp(in_dim=256, hidden=128, seed=0):
         "fc1": [_he(rng, (in_dim, hidden), in_dim), np.zeros(hidden, np.float32)],
         "out": [_he(rng, (hidden, 1), hidden), np.zeros(1, np.float32)],
     }
-    spec = dict(layers=layers, inputs=None, outputs=None)
+    spec = dict(layers=layers, inputs=None, outputs=None, synthetic=True)
     return spec, params
 
 

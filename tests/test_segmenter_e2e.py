@@ -138,6 +138,29 @@ def test_batch_process(seg_smn, media_dir, tmp_path):
     assert n_ok2 == 0 and msgs2[0][1] == 1
 
 
+def test_batch_identical_inputs_byte_identical(seg_smn, media_dir, tmp_path):
+    """Two identical inputs must produce byte-identical csvs (the reference
+    test_batch property, run_test.py:107-120)."""
+    import filecmp
+
+    inputs = [f"{media_dir}/lamartine.wav", f"{media_dir}/lamartine.wav"]
+    outputs = [str(tmp_path / "a.csv"), str(tmp_path / "b.csv")]
+    _, n_ok, _, _ = seg_smn.batch_process(inputs, outputs)
+    assert n_ok == 2
+    assert filecmp.cmp(outputs[0], outputs[1], shallow=False)
+
+
+def test_stage_timers(seg_smn, media_dir):
+    """Per-stage observability: decode/features/segment all timed."""
+    seg_smn.timers.reset()
+    seg_smn(f"{media_dir}/silence2sec.wav")
+    s = seg_smn.timers.summary()
+    assert s["decode"]["calls"] == 1
+    assert s["features"]["calls"] == 1
+    assert s["segment"]["calls"] == 1
+    assert all(v["total_s"] >= 0 for v in s.values())
+
+
 def test_no_ffmpeg_restrictions(seg_smn, media_dir):
     with pytest.raises(NotImplementedError):
         seg_smn(f"{media_dir}/silence2sec.wav", start_sec=1.0)
