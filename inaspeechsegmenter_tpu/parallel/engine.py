@@ -114,25 +114,33 @@ class ParallelEngine:
             except Exception as exc:
                 return None, (dst, 2, "error: " + str(type(exc).__name__))
 
-        # stage features for a device-group ahead while the current runs
+        # process in device-sized groups; stage the next group's features on
+        # a worker thread while the current group runs on the mesh
         group = self.n_dev
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            staged = list(pool.map(stage, todo))
-        ok = [(i, f) for i, (f, m) in enumerate(staged) if f is not None]
-        results = self.segment_many([f for _, f in ok]) if ok else []
-        res_by_idx = {i: r for (i, _), r in zip(ok, results)}
-        for i, (feats, msg) in enumerate(staged):
-            lmsg.append(msg)
-            if feats is None:
-                continue
-            ids = res_by_idx[i]
-            b = time.time()
-            lseg = [(self.seg.labels[lab], start * .02, stop * .02)
-                    for lab, start, stop in rle(ids)]
-            fexport(lseg, todo[i][1])
-            lmsg[-1] = (msg[0], msg[1], "ok " + str(time.time() - b))
-            if verbose:
-                print("%d/%d" % (i + 1, len(todo)), [lmsg[-1]])
+        batches = [todo[i:i + group] for i in range(0, len(todo), group)]
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(lambda b: [stage(x) for x in b],
+                              batches[0]) if batches else None
+            for bi, batch in enumerate(batches):
+                staged = fut.result()
+                fut = (pool.submit(lambda b: [stage(x) for x in b],
+                                   batches[bi + 1])
+                       if bi + 1 < len(batches) else None)
+                ok = [(i, f) for i, (f, m) in enumerate(staged)
+                      if f is not None]
+                results = self.segment_many([f for _, f in ok]) if ok else []
+                res_by_idx = {i: r for (i, _), r in zip(ok, results)}
+                for i, (feats, msg) in enumerate(staged):
+                    lmsg.append(msg)
+                    if feats is None:
+                        continue
+                    b = time.time()
+                    lseg = [(self.seg.labels[lab], start * .02, stop * .02)
+                            for lab, start, stop in rle(res_by_idx[i])]
+                    fexport(lseg, batch[i][1])
+                    lmsg[-1] = (msg[0], msg[1], "ok " + str(time.time() - b))
+                    if verbose:
+                        print("%d/%d" % (len(lmsg), len(linput)), [lmsg[-1]])
 
         dur = time.time() - t0
         n_ok = len([e for e in lmsg if e[1] == 0])

@@ -142,7 +142,7 @@ class Segmenter:
         if detect_gender:
             self.gender = Gender(batch_size, allow_download)
 
-        self.frontend = SidekitFrontend()
+        self.frontend = _default_frontend()
         self.pipeline = FusedPipeline(
             self.vad.as_pipeline_stage(),
             self.gender.as_pipeline_stage() if detect_gender else None,
@@ -286,6 +286,16 @@ class Segmenter:
         nb_processed = len([e for e in lmsg if e[1] == 0])
         avg = t_batch_dur / nb_processed if nb_processed > 0 else -1
         return t_batch_dur, nb_processed, avg, lmsg
+
+
+def _default_frontend():
+    """jnp frontend by default; the fused Pallas kernel via ISS_FRONTEND=pallas
+    (both parity-tested against the numpy reference)."""
+    if os.environ.get("ISS_FRONTEND") == "pallas":
+        from .dsp.pallas_fe import PallasSidekitFrontend
+
+        return PallasSidekitFrontend()
+    return SidekitFrontend()
 
 
 def _pad_short_mspec(mspec_dev, t):
