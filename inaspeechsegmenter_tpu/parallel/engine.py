@@ -39,7 +39,16 @@ class ParallelEngine:
         self.seg = segmenter
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_dev = self.mesh.devices.size
-        pipeline = segmenter.pipeline
+        # rebuild the pipeline without cond-based chunk skipping: vmap turns
+        # lax.cond into select (both branches execute), so the skip only
+        # costs compile time here
+        from ..pipeline import FusedPipeline
+
+        pipeline = FusedPipeline(
+            segmenter.vad.as_pipeline_stage(),
+            segmenter.gender.as_pipeline_stage()
+            if segmenter.detect_gender else None,
+            energy_ratio=segmenter.energy_ratio, skip_inactive=False)
 
         batched = jax.vmap(pipeline._run_impl,
                            in_axes=(None, None, 0, 0, 0, 0, 0))

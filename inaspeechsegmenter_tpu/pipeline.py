@@ -62,7 +62,12 @@ class FusedPipeline:
     :param gender: same tuple for the gender CNN, or None.
     """
 
-    def __init__(self, vad, gender=None, energy_ratio=0.03, viterbi_mode=None):
+    def __init__(self, vad, gender=None, energy_ratio=0.03, viterbi_mode=None,
+                 skip_inactive=True):
+        # skip_inactive: lax.cond-skip CNN chunks with no analyzed frames —
+        # disable under vmap (cond lowers to select there: both branches run
+        # anyway and compile time doubles)
+        self.skip_inactive = skip_inactive
         mode = viterbi_mode or default_viterbi_mode()
         self._viterbi = _viterbi_parallel if mode == "parallel" else _viterbi_scan
         self.vad_forward, self.vad_nmel, self.vad_nout, vad_arg = vad
@@ -100,15 +105,25 @@ class FusedPipeline:
         states = self._viterbi(em, self.e_trans, self.e_init, reset)
         return states[::2] == 1  # 20 ms energy activity
 
-    def _cnn_probs(self, forward, params, mspec_pad, n_frames_patch, nmel, nout):
+    def _cnn_probs(self, forward, params, mspec_pad, n_frames_patch, nmel,
+                   nout, inmask=None):
         t20 = mspec_pad.shape[0] // 2
         nb = t20 // CNN_CHUNK
         assert t20 % CNN_CHUNK == 0, (t20, CNN_CHUNK)
 
         norm_ext, fin_ext, last_norm, last_fin, n_rows = \
             normalized_windows_ext(mspec_pad, n_frames_patch, nmel)
+        if inmask is not None and not self.skip_inactive:
+            inmask = None
+        if inmask is not None:
+            # reference semantics: the CNN only runs on `inlabel` segments
+            # (segmenter.py:156-163); skip chunks with no analyzed frame —
+            # their emissions are masked to uniform downstream anyway
+            chunk_active = jnp.any(inmask.reshape(nb, CNN_CHUNK), axis=1)
+        else:
+            chunk_active = jnp.ones((nb,), bool)
 
-        def chunk(ib):
+        def compute(ib):
             j0 = ib * CNN_CHUNK
             sl = jax.lax.dynamic_slice(
                 norm_ext, (j0, 0), (CNN_CHUNK, norm_ext.shape[1]))
@@ -120,6 +135,11 @@ class FusedPipeline:
             patches = sl.reshape(CNN_CHUNK, 68, nmel)
             p = forward(params, patches[..., None])
             return jnp.where(fin[:, None], p, 0.5)
+
+        def chunk(ib):
+            return jax.lax.cond(
+                chunk_active[ib], compute,
+                lambda _: jnp.full((CNN_CHUNK, nout), 0.5, jnp.float32), ib)
 
         probs = jax.lax.map(chunk, jnp.arange(nb))
         return probs.reshape(t20, nout)
@@ -141,7 +161,8 @@ class FusedPipeline:
         energy20 = self._energy_states20(loge_pad, n_frames)
 
         probs_v = self._cnn_probs(self.vad_forward, vad_params, mspec_pad,
-                                  n_frames_patch, self.vad_nmel, self.vad_nout)
+                                  n_frames_patch, self.vad_nmel, self.vad_nout,
+                                  inmask=energy20)
         states_v = self._masked_viterbi(probs_v, energy20, n20,
                                         self.v_trans, self.v_init)
         # label ids: 0 = noEnergy, 1..vad_nout = vad outlabels
@@ -150,7 +171,8 @@ class FusedPipeline:
         if self.gender is not None:
             speech20 = labels == 1  # outlabels[0] == 'speech' for sm and smn
             probs_g = self._cnn_probs(self.g_forward, g_params, mspec_pad,
-                                      n_frames_patch, self.g_nmel, self.g_nout)
+                                      n_frames_patch, self.g_nmel, self.g_nout,
+                                      inmask=speech20)
             states_g = self._masked_viterbi(probs_g, speech20, n20,
                                             self.g_trans, self.g_init)
             labels = jnp.where(speech20,
