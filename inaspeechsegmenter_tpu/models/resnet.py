@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-HP = jax.lax.Precision.HIGHEST
+import os
+
+# HIGHEST matches the reference's f32 ONNX numerics; ISS_XVEC_PRECISION=fast
+# trades embedding precision (~1e-2) for ~2x conv throughput
+HP = (jax.lax.Precision.DEFAULT
+      if os.environ.get("ISS_XVEC_PRECISION") == "fast"
+      else jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------

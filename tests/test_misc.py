@@ -1,0 +1,74 @@
+"""Small-surface tests: bucket ladder, mesh helpers, spec utilities, cache."""
+
+import numpy as np
+
+
+def test_bucket_ladder_bounded():
+    from inaspeechsegmenter_tpu.pipeline import bucket_chunks
+
+    seen = set()
+    for n in range(1, 2000):
+        b = bucket_chunks(n)
+        assert b >= n
+        assert b <= 2 * n  # <=50% padding waste
+        seen.add(b)
+    assert len(seen) < 25  # bounded jit cache
+
+
+def test_rle():
+    from inaspeechsegmenter_tpu.pipeline import rle
+
+    assert rle(np.array([0, 0, 1, 1, 1, 2])) == [(0, 0, 2), (1, 2, 5), (2, 5, 6)]
+    assert rle(np.array([5])) == [(5, 0, 1)]
+    assert rle(np.array([])) == []
+
+
+def test_strip_final_softmax():
+    from inaspeechsegmenter_tpu.models.keras_h5 import strip_final_softmax
+    from inaspeechsegmenter_tpu.models.synthetic import build_patch_cnn
+
+    spec, _ = build_patch_cnn(21, 3, size="small")
+    assert spec["layers"][-1]["config"]["activation"] == "softmax"
+    stripped = strip_final_softmax(spec)
+    assert stripped["layers"][-1]["config"]["activation"] == "linear"
+    # original untouched
+    assert spec["layers"][-1]["config"]["activation"] == "softmax"
+
+
+def test_mesh_helpers():
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from inaspeechsegmenter_tpu.parallel.mesh import (make_mesh, make_2d_mesh,
+                                                      shard_batch, replicate)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = make_2d_mesh(data=4, model=2)
+    assert dict(zip(mesh2.axis_names, mesh2.devices.shape)) == \
+        {"data": 4, "model": 2}
+    x = np.zeros((16, 3), np.float32)
+    xs = shard_batch(mesh, x)
+    assert xs.sharding.spec == P("data", None)
+    tree = replicate(mesh, {"a": np.ones(4, np.float32)})
+    assert tree["a"].sharding.spec == P()
+
+
+def test_compilation_cache_config(tmp_path):
+    from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
+
+    p = enable_compilation_cache(str(tmp_path / "cache"))
+    import os
+
+    assert os.path.isdir(p)
+
+
+def test_frontend_env_selection(monkeypatch):
+    from inaspeechsegmenter_tpu.segmenter import _default_frontend
+    from inaspeechsegmenter_tpu.dsp.pallas_fe import PallasSidekitFrontend
+    from inaspeechsegmenter_tpu.dsp.sidekit import SidekitFrontend
+
+    monkeypatch.setenv("ISS_FRONTEND", "pallas")
+    assert isinstance(_default_frontend(), PallasSidekitFrontend)
+    monkeypatch.delenv("ISS_FRONTEND")
+    assert isinstance(_default_frontend(), SidekitFrontend)
