@@ -79,7 +79,17 @@ def main(argv=None):
                     ffmpeg=args.ffmpeg_binary, energy_ratio=args.energy_ratio,
                     batch_size=args.batch_size)
 
-    with warnings.catch_warnings():
+    import contextlib
+
+    trace_dir = os.environ.get('ISS_TRACE_DIR')
+    if trace_dir:
+        from inaspeechsegmenter_tpu.utils.timing import jax_trace
+
+        trace_cm = jax_trace(trace_dir)
+    else:
+        trace_cm = contextlib.nullcontext()
+
+    with warnings.catch_warnings(), trace_cm:
         warnings.simplefilter('ignore')
         base = [os.path.splitext(os.path.basename(e))[0] for e in input_files]
         output_files = [os.path.join(odir, e + '.' + args.export_format)
