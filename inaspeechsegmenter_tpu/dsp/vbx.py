@@ -64,11 +64,20 @@ class VbxFrontend:
         self.dcos = jnp.asarray(dcos)
         self.dsin = jnp.asarray(dsin)
 
-    @partial(jax.jit, static_argnames=("self", "n_frames"))
-    def _fbank_cmvn(self, seg, n_frames):
-        starts = jnp.arange(n_frames) * HOP
-        idx = starts[:, None] + jnp.arange(WIN)[None, :]
-        frames = seg[idx]                                        # (T, 400)
+    @partial(jax.jit, static_argnames=("self",))
+    def _fbank_cmvn_padded(self, seg_pad, n_frames):
+        """Bucket-padded fbank + CMVN: padded length is static (one compile
+        per bucket), the true frame count `n_frames` is traced, so arbitrary
+        file lengths share compiled programs.  Padded frames are zeros ->
+        log(max(1, 0)) = 0 rows that CMVN never reads (window starts clamp
+        to n_frames)."""
+        t_pad = seg_pad.shape[0] // HOP - 2
+        # gather-free framing: rows of HOP samples; window = rows i, i+1
+        # and the first 80 lanes of i+2
+        s2 = seg_pad.reshape(t_pad + 2, HOP)
+        frames = jnp.concatenate(
+            [s2[0:t_pad], s2[1:t_pad + 1], s2[2:t_pad + 2, : WIN - 2 * HOP]],
+            axis=1)                                              # (T, 400)
         frames = frames - jnp.mean(frames, axis=1, keepdims=True)  # ZMEANSOURCE
         shifted = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
         frames = frames - 0.97 * shifted                         # pre-emphasis
@@ -82,9 +91,9 @@ class VbxFrontend:
 
     def _cmvn(self, x, n):
         """Floating-window mean normalization, Kaldi edge handling
-        (features_vbx.py:131-149, norm_vars=False)."""
-        win_len = min(n, self.lc + self.rc + 1)
-        ws = jnp.clip(jnp.arange(-self.lc, n - self.lc), 0, n - win_len)
+        (features_vbx.py:131-149, norm_vars=False); `n` may be traced."""
+        win_len = jnp.minimum(n, self.lc + self.rc + 1)
+        ws = jnp.clip(jnp.arange(x.shape[0]) - self.lc, 0, n - win_len)
         f = jnp.concatenate([jnp.zeros((1, x.shape[1]), x.dtype),
                              jnp.cumsum(x, axis=0)])
         return x - (f[ws + win_len] - f[ws]) / win_len
@@ -93,8 +102,12 @@ class VbxFrontend:
         """Reference-compatible entry: float64 signal -> (T, 64) float32."""
         seg = preprocess_signal(signal).astype(np.float32)
         n_frames = (len(seg) - WIN) // HOP + 1
-        fea = self._fbank_cmvn(jnp.asarray(seg), n_frames)
-        return fea
+        # bucket the padded length (1024-frame steps) to bound compiles
+        t_bucket = -(-max(n_frames, 1) // 1024) * 1024
+        need = (t_bucket + 2) * HOP
+        seg = np.pad(seg, (0, max(0, need - len(seg))))[:need]
+        fea = self._fbank_cmvn_padded(jnp.asarray(seg), jnp.int32(n_frames))
+        return fea[:n_frames]
 
     def __hash__(self):
         return id(self)
