@@ -25,7 +25,6 @@ p=0.5 (segmenter.py:175), Viterbi smoothing never crosses segment boundaries.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
