@@ -14,9 +14,13 @@ import os
 def enable_compilation_cache(path=None):
     import jax
 
-    path = path or os.environ.get(
-        "ISS_JAX_CACHE_DIR",
-        os.path.expanduser("~/.cache/inaspeechsegmenter_tpu/jax_cache"))
+    if path is None:
+        path = os.environ.get(
+            "ISS_JAX_CACHE_DIR",
+            os.path.expanduser("~/.cache/inaspeechsegmenter_tpu/jax_cache"))
+        # scope per backend: AOT results compiled for one host/feature set
+        # can SIGILL when loaded by another (observed warning on CPU)
+        path = os.path.join(path, jax.default_backend())
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
