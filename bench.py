@@ -1,8 +1,11 @@
-"""Benchmark: real-time factor of the fused segmentation pipeline on 1 chip.
+"""Benchmark: real-time factor of the segmentation pipeline on 1 chip.
 
-Measures end-to-end device throughput (features + energy VAD + VAD CNN +
-gender CNN + 3 Viterbi decodes, smn engine with gender) over one hour of
-synthetic 16 kHz broadcast-style audio, with full-size CNN weights.
+Measures the production batch workload (the reference's own headline path,
+`batch_process`): one hour of synthetic 16 kHz broadcast-style audio split
+across several WAV files, decoded, feature-extracted, and segmented with the
+smn+gender engine and full-size CNN weights — host decode + upload of the
+next file overlapping device compute of the current one, exactly as in
+serving.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 `value` is the real-time factor (audio seconds per wall second per chip);
@@ -55,35 +58,39 @@ def main():
     install_synthetic_models(d, size="full")
     os.environ.setdefault("ISS_TPU_MODEL_DIR", d)
 
+    import tempfile
+
     from inaspeechsegmenter_tpu import Segmenter
+    from inaspeechsegmenter_tpu.audio import write_wav
 
     seconds = int(os.environ.get("ISS_BENCH_SECONDS", "3600"))
+    n_files = int(os.environ.get("ISS_BENCH_FILES", "3"))
     seg = Segmenter(vad_engine="smn", detect_gender=True, ffmpeg=None,
                     allow_download=False)
 
-    # PCM16 like real broadcast sources: int16 halves the device upload and
-    # converts to identical float32 on device
-    sig = np.clip(np.rint(synth_audio(seconds) * 32768.0),
-                  -32768, 32767).astype(np.int16)
+    # PCM16 WAV files like real broadcast sources (int16 halves the device
+    # upload and converts to identical float32 on device)
+    per_file = seconds // n_files
+    tmp = tempfile.mkdtemp(prefix="iss_bench_")
+    inputs = []
+    for i in range(n_files):
+        sig = np.clip(np.rint(synth_audio(per_file, seed=i) * 32768.0),
+                      -32768, 32767).astype(np.int16)
+        p = os.path.join(tmp, f"a{i}.wav")
+        write_wav(p, sig, 16000)
+        inputs.append(p)
 
-    def run():
-        from inaspeechsegmenter_tpu.dsp.sidekit import frame_count, CHUNK
-        from inaspeechsegmenter_tpu.pipeline import bucket_chunks
+    def run(tag):
+        outs = [os.path.join(tmp, f"o{tag}_{i}.csv")
+                for i in range(n_files)]
+        dur, n_ok, _, _ = seg.batch_process(inputs, outs)
+        assert n_ok == n_files
+        return dur
 
-        t = frame_count(len(sig))
-        bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK
-        mspec, loge, t = seg.frontend.mspec_loge(sig, pad_frames_to=bucket)
-        return seg._fused_segment(mspec, loge, t, 0, 0)
+    run("warm")  # compile the bucket programs
+    best = min(run(f"r{k}") for k in range(3))
 
-    run()  # warmup: compile both programs for this bucket
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = run()
-        best = min(best, time.perf_counter() - t0)
-    assert len(out) >= 1
-
-    rtf = seconds / best
+    rtf = n_files * per_file / best
     print(json.dumps({
         "metric": "segmentation_realtime_factor_1chip",
         "value": round(rtf, 1),

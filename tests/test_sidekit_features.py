@@ -88,6 +88,23 @@ def test_media2sig_auto(media_dir):
     np.testing.assert_array_equal(a.astype(np.float32) / 32768.0, f)
 
 
+def test_streamed_equals_monolithic(frontend, rng):
+    """The chunk-streamed upload path must equal the single-dispatch
+    `_features_padded` program bit-for-bit."""
+    import jax.numpy as jnp
+
+    sig = (rng.standard_normal(16000 * 50) * 0.2).astype(np.float32)
+    m1, l1, t = frontend.mspec_loge(sig)
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+
+    n_chunks = m1.shape[0] // CHUNK
+    need = (n_chunks * CHUNK + 2) * HOP
+    pad = np.pad(sig, (0, max(0, need - len(sig))))[:need]
+    m2, l2 = frontend._features_padded(jnp.asarray(pad))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
 def test_cepstra_parity(frontend, ref_sidekit, rng):
     sig = (rng.standard_normal(16000 * 2) * 0.2).astype(np.float32)
     mspec, _ = frontend.mspec_loge_np(sig)
