@@ -51,16 +51,47 @@ def _pair(v):
     return (int(v), int(v))
 
 
+def _conv2d_cin1(x, kernel, padding):
+    """Single-input-channel conv as shifted-window accumulation.
+
+    XLA's conv on TPU pads the cin=1 contraction onto the MXU and wastes
+    ~90% of it (measured: the stem conv was 2/3 of total patch-CNN time);
+    unrolling the k*k taps as broadcasted multiply-adds runs on the VPU at
+    full rate.  Stride-1 only; exact f32 (different summation order than
+    conv_general, same accuracy class)."""
+    kh, kw, _, cout = kernel.shape
+    b, h, w, _ = x.shape
+    xs = x[..., 0]
+    if padding == "SAME":
+        ph0, ph1 = (kh - 1) // 2, kh // 2
+        pw0, pw1 = (kw - 1) // 2, kw // 2
+        xs = jnp.pad(xs, ((0, 0), (ph0, ph1), (pw0, pw1)))
+        oh, ow = h, w
+    else:  # VALID
+        oh, ow = h - kh + 1, w - kw + 1
+    out = None
+    for dy in range(kh):
+        for dx in range(kw):
+            term = xs[:, dy:dy + oh, dx:dx + ow, None] * kernel[dy, dx, 0, :]
+            out = term if out is None else out + term
+    return out
+
+
 def conv2d(cfg, params, x):
     kernel = params[0]  # (kh, kw, cin, cout)
     strides = _pair(cfg.get("strides", 1))
     padding = cfg.get("padding", "valid").upper()
     dilation = _pair(cfg.get("dilation_rate", 1))
-    out = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=strides, padding=padding,
-        rhs_dilation=dilation,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST)
+    if (x.shape[-1] == 1 and strides == (1, 1) and dilation == (1, 1)
+            and kernel.shape[0] * kernel.shape[1] <= 25
+            and padding in ("SAME", "VALID")):
+        out = _conv2d_cin1(x, kernel, padding)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=strides, padding=padding,
+            rhs_dilation=dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
     if cfg.get("use_bias", True):
         out = out + params[1]
     return _activation(cfg.get("activation"), out)
