@@ -52,7 +52,10 @@ def synth_audio(seconds, sr=16000, seed=0):
 def main():
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    d = os.path.expanduser("~/.cache/inaspeechsegmenter_tpu")
+    # synthetic stand-ins live OUTSIDE the registry search path and are only
+    # used because ISS_TPU_MODEL_DIR opts into them — they never shadow real
+    # released weights in ~/.keras or the shared cache dir
+    d = os.path.expanduser("~/.cache/inaspeechsegmenter_tpu/synthetic")
     from inaspeechsegmenter_tpu.models.synthetic import install_synthetic_models
 
     install_synthetic_models(d, size="full")

@@ -15,12 +15,13 @@ import os
 import warnings
 
 description = (
-    "Do Speech/Music(/Noise) and Male/Female segmentation and store "
-    "segmentations into CSV files. Segments labelled 'noEnergy' are "
-    "discarded from music, noise, speech and gender analysis. 'speech', "
-    "'male' and 'female' labels include speech over music and speech over "
-    "noise. 'music' and 'noise' labels are pure segments that are not "
-    "supposed to contain speech."
+    "Segment media files into speech/music(/noise) regions, optionally "
+    "splitting speech by speaker gender, and write one CSV (or TextGrid) "
+    "timeline per input. Regions labelled 'noEnergy' are excluded from all "
+    "downstream analysis; 'speech'/'male'/'female' cover speech even when "
+    "mixed with music or noise, while 'music' and 'noise' denote pure "
+    "non-speech regions. TPU-native engine with the inaSpeechSegmenter "
+    "command-line surface."
 )
 
 

@@ -179,6 +179,12 @@ def max_pool2d(cfg, params, x):
 def avg_pool2d(cfg, params, x):
     pool = _pair(cfg.get("pool_size", 2))
     summed = _pool2d(cfg, x, jax.lax.add, 0.0)
+    if cfg.get("padding", "valid").upper() == "SAME":
+        # Keras AveragePooling2D excludes padded cells from the denominator;
+        # count valid elements per window with a same-shaped ones-reduce.
+        ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+        count = _pool2d(cfg, ones, jax.lax.add, 0.0)
+        return summed / count
     return summed / (pool[0] * pool[1])
 
 

@@ -14,8 +14,12 @@ and a user cache.  Additions for the TPU build:
 
 from __future__ import annotations
 
+import json
 import os
 import urllib.request
+import warnings
+
+import numpy as np
 
 ISS_URL = "https://github.com/ina-foss/inaSpeechSegmenter/releases/download/models/"
 VFS_URL = "https://github.com/ina-foss/inaSpeechSegmenter/releases/download/interspeech23/"
@@ -53,17 +57,48 @@ def cache_dir():
     return d
 
 
-def get_remote(model_fname, allow_download=True):
+def _npz_is_synthetic(path):
+    """True if a native checkpoint is a random-weight synthetic stand-in."""
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            spec = json.loads(bytes(z["__spec__"].tobytes()).decode())
+        return bool(spec.get("synthetic"))
+    except Exception:
+        return False
+
+
+def _synthetic_allowed(path):
+    """Synthetic stand-ins require explicit opt-in.
+
+    Opt-in = the file lives under ISS_TPU_MODEL_DIR (the user pointed the
+    registry there on purpose) or ISS_ALLOW_SYNTHETIC=1.  Without it a
+    synthetic npz sitting in a shared cache directory must never shadow real
+    released weights (it would silently produce garbage segmentations).
+    """
+    if os.environ.get("ISS_ALLOW_SYNTHETIC"):
+        return True
+    env = os.environ.get("ISS_TPU_MODEL_DIR")
+    if env and os.path.abspath(path).startswith(os.path.abspath(env) + os.sep):
+        return True
+    return False
+
+
+def get_remote(model_fname, allow_download=True, allow_synthetic=False):
     """Resolve a model filename to a local path.
 
     Search order: native-converted `.npz` in any search dir, the exact
     filename in any search dir, then (optionally) download from the release
-    URL into the cache dir.
+    URL into the cache dir.  Synthetic stand-in checkpoints are skipped
+    unless explicitly opted into (see _synthetic_allowed); a skipped
+    synthetic never shadows a real hdf5 found later in the search.
     """
     stem = os.path.splitext(model_fname)[0]
     for d in _search_dirs():
         p = os.path.join(d, stem + ".npz")
         if os.access(p, os.R_OK):
+            if _npz_is_synthetic(p) and not (allow_synthetic or
+                                             _synthetic_allowed(p)):
+                continue
             return p
     for d in _search_dirs():
         p = os.path.join(d, model_fname)
@@ -85,13 +120,21 @@ def get_remote(model_fname, allow_download=True):
         f"model {model_fname} not found in {_search_dirs()}")
 
 
-def load_patch_model(model_fname, allow_download=True):
+def load_patch_model(model_fname, allow_download=True, allow_synthetic=False):
     """Load a CNN/MLP by registry name, converting hdf5 -> native on first use."""
     from .keras_h5 import ImportedModel
 
-    path = get_remote(model_fname, allow_download=allow_download)
+    path = get_remote(model_fname, allow_download=allow_download,
+                      allow_synthetic=allow_synthetic)
     if path.endswith(".npz"):
-        return ImportedModel.from_native(path)
+        model = ImportedModel.from_native(path)
+        if model.spec.get("synthetic"):
+            warnings.warn(
+                f"loading SYNTHETIC random-weight stand-in {path} for "
+                f"{model_fname}: outputs are not meaningful segmentations "
+                "(install the released weights to get real results)",
+                stacklevel=2)
+        return model
     model = ImportedModel.from_h5(path)
     # cache the converted form next time
     try:

@@ -221,7 +221,16 @@ class ResNetXVector:
     def load_torch_checkpoint(self, path):
         import torch
 
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        # weights_only: the released checkpoint is a plain state_dict; full
+        # pickle deserialization of a network-fetched file would allow
+        # arbitrary code execution if the cache dir were tampered with.
+        try:
+            ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception as exc:
+            raise ValueError(
+                f"{path} is not a plain tensor checkpoint (weights_only "
+                f"load failed: {exc}); refusing unpickling of arbitrary "
+                "objects from a downloaded file") from exc
         state = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
         return self.params_from_torch_state(state)
 

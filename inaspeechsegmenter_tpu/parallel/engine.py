@@ -13,6 +13,8 @@ execution of the current one.
 from __future__ import annotations
 
 import os
+import random
+import sys
 import time
 from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor
@@ -116,11 +118,19 @@ class ParallelEngine:
             todo.append((src, dst))
 
         def stage(item):
+            # per-file retry with randomized backoff, identical semantics to
+            # Segmenter.batch_process (flaky remote/NFS media on farm nodes)
             src, dst = item
-            try:
-                return self.seg._media2feats(src, None, None), (dst, 0, "ok")
-            except Exception as exc:
-                return None, (dst, 2, "error: " + str(type(exc).__name__))
+            err = None
+            for itry in range(nbtry):
+                try:
+                    return (self.seg._media2feats(src, None, None),
+                            (dst, 0, "ok"))
+                except Exception:
+                    err = sys.exc_info()[0]
+                    if itry != nbtry - 1:
+                        time.sleep(random.random() * trydelay)
+            return None, (dst, 2, "error: " + str(err))
 
         # process in device-sized groups; stage the next group's features on
         # a worker thread while the current group runs on the mesh

@@ -44,28 +44,28 @@ class JobServer:
         df.source_path = df.source_path.str.strip()
         df.dest_path = df.dest_path.str.strip()
         df = df.drop_duplicates().sample(frac=1).reset_index(drop=True)
-        print("setting jobs")
-        print("random source & dest path:", df.source_path[0], " ",
-              df.dest_path[0])
-        print("number of files to process:", len(df))
         with self._lock:
             self.lsource = list(df.source_path)
             self.ldest = list(df.dest_path)
             self.i = 0
-        return "%s jobs have been set" % csvjobs
+        print("[jobserver] queued %d unique jobs from %s (sample: %s -> %s)"
+              % (len(df), csvjobs, df.source_path[0], df.dest_path[0]))
+        return "%d jobs from %s queued" % (len(df), csvjobs)
 
     def get_job(self, msg):
         with self._lock:
-            print("job %d: %s" % (self.i, msg))
+            print("[jobserver] lease job #%d to %s" % (self.i, msg))
             self.i += 1
             return (self.lsource.pop(0), self.ldest.pop(0))
 
     def get_njobs(self, msg, nbjobs=20):
         with self._lock:
-            print("jobs %d-%d: %s" % (self.i, self.i + nbjobs, msg))
             ret = (self.lsource[:nbjobs], self.ldest[:nbjobs])
-            if len(ret[0]) == 0:
-                print("All jobs dispatched")
+            if ret[0]:
+                print("[jobserver] lease jobs #%d..#%d to %s"
+                      % (self.i, self.i + len(ret[0]) - 1, msg))
+            else:
+                print("[jobserver] queue empty, nothing left to lease")
             self.lsource = self.lsource[nbjobs:]
             self.ldest = self.ldest[nbjobs:]
             self.i += nbjobs
@@ -107,7 +107,7 @@ class JobServer:
         thread = threading.Thread(target=srv.serve_forever, daemon=True)
         thread.start()
         srv._thread = thread
-        print("Ready. Object uri =", uri)
+        print("[jobserver] listening on", uri)
         return srv, uri
 
 
@@ -157,7 +157,7 @@ def client_work_loop(uri, segmenter, hostname=None):
     while True:
         lsrc, ldst = jobserver.get_njobs("%s %s" % (hostname, ret))
         if len(lsrc) == 0:
-            print("job list finished")
+            print("[jobclient] queue drained, exiting work loop")
             break
         ret = segmenter.batch_process(lsrc, ldst, skipifexist=True, nbtry=3)
     jobserver.close()

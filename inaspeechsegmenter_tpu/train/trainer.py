@@ -25,7 +25,7 @@ from ..models.keras_h5 import build_forward, strip_final_softmax
 
 
 def param_shardings(mesh, params, model_axis="model"):
-    """Sharding pytree: 2-D kernels with >=1024 rows are tensor-sharded on
+    """Sharding pytree: 2-D kernels with >=512 rows are tensor-sharded on
     their output dim; everything else is replicated."""
     def shard_of(a):
         a = np.asarray(a)

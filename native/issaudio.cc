@@ -63,6 +63,26 @@ bool parse_wav(const uint8_t* buf, int64_t len, WavInfo* info) {
   return have_fmt && info->data != nullptr;
 }
 
+// Untrusted media: a malformed fmt chunk (e.g. bits in 1..7) would make
+// bits/8 == 0 and SIGFPE the process on the frame-count division.
+bool valid_wav(const WavInfo& w) {
+  if (w.channels <= 0 || w.sample_rate <= 0) return false;
+  if (w.format != 1 && w.format != 3) return false;
+  switch (w.bits) {
+    case 8: case 16: case 24:
+      if (w.format != 1) return false;
+      break;
+    case 32:
+      break;  // PCM32 or float32
+    case 64:
+      if (w.format != 3) return false;
+      break;
+    default:
+      return false;
+  }
+  return true;
+}
+
 double sample_at(const WavInfo& w, int64_t frame, int32_t ch) {
   int64_t idx = frame * w.channels + ch;
   const uint8_t* p;
@@ -119,7 +139,7 @@ extern "C" {
 int64_t iss_wav_info(const uint8_t* data, int64_t len, int32_t* sr,
                      int32_t* channels, int64_t* n_frames, int32_t* bits) {
   WavInfo w;
-  if (!parse_wav(data, len, &w) || w.channels <= 0 || w.bits <= 0) return -1;
+  if (!parse_wav(data, len, &w) || !valid_wav(w)) return -1;
   *sr = w.sample_rate;
   *channels = w.channels;
   *bits = w.bits;
@@ -131,7 +151,7 @@ int64_t iss_wav_info(const uint8_t* data, int64_t len, int32_t* sr,
 int64_t iss_wav_decode_f32(const uint8_t* data, int64_t len, float* out,
                            int64_t out_cap) {
   WavInfo w;
-  if (!parse_wav(data, len, &w) || w.channels <= 0 || w.bits <= 0) return -1;
+  if (!parse_wav(data, len, &w) || !valid_wav(w)) return -1;
   int64_t frames = w.data_len / ((int64_t)w.channels * (w.bits / 8));
   if (frames > out_cap) frames = out_cap;
   for (int64_t i = 0; i < frames; ++i) {

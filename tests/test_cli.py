@@ -59,6 +59,6 @@ def test_setjobs_and_server_cli(tmp_path, capsys):
     try:
         setjobs_main([uri, str(csv)])
         out = capsys.readouterr().out
-        assert "jobs have been set" in out
+        assert "jobs from" in out and "queued" in out
     finally:
         tcp.shutdown()

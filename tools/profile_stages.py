@@ -26,7 +26,7 @@ def main():
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 600
-    d = os.path.expanduser("~/.cache/inaspeechsegmenter_tpu")
+    d = os.path.expanduser("~/.cache/inaspeechsegmenter_tpu/synthetic")
     from inaspeechsegmenter_tpu.models.synthetic import install_synthetic_models
 
     install_synthetic_models(d, size="full")
