@@ -12,8 +12,9 @@ and W=time so convs hit the MXU without layout games.  Inference-only
 (BatchNorm uses running stats) — the reference pipeline is inference-only.
 
 Weights load from a PyTorch checkpoint (`raw_81.pth`, torch available
-CPU-side) or from the released `final.onnx` (initializer tensors mapped by
-graph order; requires the `onnx` package) — or random init for testing.
+CPU-side) or from the released `final.onnx` via the first-party protobuf
+reader (models/onnx_reader.py; weights mapped by graph topology, no
+`onnx`/`onnxruntime` dependency) — or random init for testing.
 """
 
 from __future__ import annotations

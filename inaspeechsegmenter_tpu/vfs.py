@@ -257,20 +257,135 @@ def _unflatten(flat):
 
 
 def _load_resnet_onnx(net, path):
-    """Map `final.onnx` initializers onto the ResNet pytree (requires the
-    `onnx` package; raise a clear error otherwise)."""
-    try:
-        import onnx  # noqa: F401
-    except ImportError as exc:
-        raise ImportError(
-            "loading final.onnx requires the `onnx` package; convert the "
-            "checkpoint offline (e.g. from raw_81.pth with torch) and save "
-            "it with vfs.save_resnet_npz instead") from exc
-    from onnx import numpy_helper
+    """Map `final.onnx` weights onto the ResNet pytree by graph topology.
 
-    model = onnx.load(path)
-    weights = {init.name: numpy_helper.to_array(init)
-               for init in model.graph.initializer}
-    # VBx exports keep torch parameter names in the initializer names.
-    state = {k.replace("model.", ""): v for k, v in weights.items()}
-    return net.params_from_torch_state(state)
+    Uses the first-party protobuf reader (models/onnx_reader.py) — no
+    `onnx`/`onnxruntime` dependency.  Initializer NAMES are ignored entirely
+    (torch-exported graphs carry opaque names like ``onnx::Conv_123``);
+    instead the Conv/BatchNormalization/Gemm node stream is consumed in graph
+    order, which for this architecture (reference resnet.py:117-131 forward:
+    conv1..conv3 then shortcut) is the forward execution order.  Every
+    assignment is shape-checked against the expected architecture.
+    """
+    from .models.onnx_reader import read_model
+
+    g = read_model(path)
+
+    # exporters deduplicate identical initializers behind Identity nodes
+    # (e.g. every fresh BN gamma aliases one shared ones-vector)
+    alias = {n.outputs[0]: n.inputs[0] for n in g.nodes
+             if n.op_type == "Identity" and n.inputs and n.outputs}
+
+    def arr(name):
+        seen = set()
+        while name in alias and name not in g.initializers:
+            if name in seen:
+                raise ValueError(f"onnx graph: Identity cycle at {name!r}")
+            seen.add(name)
+            name = alias[name]
+        if name not in g.initializers:
+            raise ValueError(
+                f"onnx graph: expected weight tensor {name!r} to be an "
+                "initializer or Constant (dynamic weights unsupported)")
+        return np.asarray(g.initializers[name], np.float32)
+
+    events = []
+    for node in g.nodes:
+        if node.op_type == "Conv":
+            w = arr(node.inputs[1])
+            b = arr(node.inputs[2]) if len(node.inputs) > 2 else None
+            events.append(("conv", w, b))
+        elif node.op_type == "BatchNormalization":
+            events.append(("bn", [arr(node.inputs[k]) for k in (1, 2, 3, 4)]))
+        elif node.op_type == "Gemm":
+            w = arr(node.inputs[1])
+            b = arr(node.inputs[2]) if len(node.inputs) > 2 else None
+            trans_b = bool(node.attrs.get("transB", 0))
+            events.append(("gemm", w, b, trans_b))
+
+    pos = 0
+
+    def take(kind=None):
+        nonlocal pos
+        if pos >= len(events):
+            raise ValueError("onnx graph ended early — architecture mismatch")
+        ev = events[pos]
+        if kind is not None and ev[0] != kind:
+            raise ValueError(f"expected {kind}, got {ev[0]} at node {pos}")
+        pos += 1
+        return ev
+
+    def peek():
+        return events[pos][0] if pos < len(events) else None
+
+    def take_conv_bn(shape):
+        """Consume a Conv and its BatchNormalization.
+
+        Eval-mode torch exports usually constant-fold BN into the conv
+        (do_constant_folding default): then the conv carries a bias and no BN
+        node follows — synthesize an identity BN whose beta is the bias.  In
+        unfused graphs a conv bias is folded into the BN running mean
+        (bn(x + b) == bn with mean - b).
+        """
+        _, w, b = take("conv")
+        # ONNX conv weight (cout, cin, kh, kw) -> HWIO
+        w = np.transpose(w, (2, 3, 1, 0))
+        if w.shape != shape:
+            raise ValueError(f"onnx conv shape {w.shape} != expected {shape}")
+        cout = shape[-1]
+        if peek() == "bn":
+            gamma, beta, mean, var = take("bn")[1]
+            if b is not None:
+                mean = mean - b
+        else:
+            gamma = np.ones(cout, np.float32)
+            beta = b if b is not None else np.zeros(cout, np.float32)
+            mean = np.zeros(cout, np.float32)
+            # our _bn adds eps=1e-5 to var; cancel it for an exact identity
+            var = np.full(cout, 1.0 - 1e-5, np.float32)
+        return w, dict(gamma=gamma, beta=beta, mean=mean, var=var)
+
+    mc = net.m_channels
+    params = {}
+    params["conv1"], params["bn1"] = take_conv_bn((3, 3, 1, mc))
+    in_planes = mc
+    for si, (mult, nb, stride) in enumerate(
+            zip([1, 2, 4, 8], net.num_blocks, [1, 2, 2, 2])):
+        planes = mc * mult
+        blocks = []
+        for bi in range(nb):
+            s = stride if bi == 0 else 1
+            p = {}
+            if net.block == "bottleneck":
+                p["conv1"], p["bn1"] = take_conv_bn((1, 1, in_planes, planes))
+                p["conv2"], p["bn2"] = take_conv_bn((3, 3, planes, planes))
+                p["conv3"], p["bn3"] = take_conv_bn(
+                    (1, 1, planes, planes * 4))
+                out_planes = planes * 4
+            else:
+                p["conv1"], p["bn1"] = take_conv_bn((3, 3, in_planes, planes))
+                p["conv2"], p["bn2"] = take_conv_bn((3, 3, planes, planes))
+                out_planes = planes
+            if s != 1 or in_planes != out_planes:
+                p["sc_conv"], p["sc_bn"] = take_conv_bn(
+                    (1, 1, in_planes, out_planes))
+            blocks.append(p)
+            in_planes = out_planes
+        params[f"layer{si + 1}"] = blocks
+
+    _, w, b, trans_b = take("gemm")
+    if trans_b:                      # torch Linear: B is (out, in), transB=1
+        w = np.transpose(w, (1, 0))
+    feat = in_planes * 2 * (net.feat_dim // 8 if net.block == "bottleneck"
+                            else -(-(-(-net.feat_dim // 2) // 2) // 2))
+    if w.shape != (feat, net.embed_dim):
+        raise ValueError(
+            f"onnx embedding shape {w.shape} != expected "
+            f"{(feat, net.embed_dim)}")
+    params["embedding"] = dict(
+        w=w, b=b if b is not None else np.zeros(net.embed_dim, np.float32))
+    if pos != len(events):
+        raise ValueError(
+            f"onnx graph has {len(events) - pos} unconsumed weighted nodes "
+            "— architecture mismatch")
+    return params
