@@ -15,6 +15,12 @@ def main(argv=None):
     parser.add_argument('--ffmpeg_binary', default='ffmpeg', type=str)
     parser.add_argument('--parallel', action='store_true',
                         help='Shard leased files across local devices.')
+    parser.add_argument('--vfs', action='store_true',
+                        help='Run voice-femininity-scoring jobs instead of '
+                             'segmentation (one score csv per input).')
+    parser.add_argument('--gd_model_criteria', default='bgc',
+                        choices=['bgc', 'vfp'],
+                        help='VFS gender-detection model criteria.')
     args = parser.parse_args(argv)
 
     if args.ffmpeg_binary.lower() == 'none' or args.ffmpeg_binary == '':
@@ -22,15 +28,23 @@ def main(argv=None):
               'sampled at 16kHz.')
         args.ffmpeg_binary = None
 
-    from inaspeechsegmenter_tpu import Segmenter
     from inaspeechsegmenter_tpu.parallel import client_work_loop
 
-    seg = Segmenter(batch_size=args.batch_size, ffmpeg=args.ffmpeg_binary)
-    worker = seg
-    if args.parallel:
-        from inaspeechsegmenter_tpu.parallel import ParallelEngine
+    if args.vfs:
+        from inaspeechsegmenter_tpu.vfs import VoiceFemininityScoring
 
-        worker = ParallelEngine(seg)
+        worker = VoiceFemininityScoring(
+            gd_model_criteria=args.gd_model_criteria,
+            ffmpeg=args.ffmpeg_binary)
+    else:
+        from inaspeechsegmenter_tpu import Segmenter
+
+        worker = Segmenter(batch_size=args.batch_size,
+                           ffmpeg=args.ffmpeg_binary)
+        if args.parallel:
+            from inaspeechsegmenter_tpu.parallel import ParallelEngine
+
+            worker = ParallelEngine(worker)
     client_work_loop(args.uri, worker)
 
 

@@ -202,6 +202,70 @@ class VoiceFemininityScoring:
 
         return score, speech_duration, nb_vectors
 
+    # ------------------------------------------------------------------
+    def batch_score(self, linput, loutput, verbose=False, skipifexist=False,
+                    nbtry=1, trydelay=2.):
+        """Score a list of files, one tab-separated csv per input.
+
+        Framework extension: the reference farms only segmentation jobs
+        through batch_process (pyro_client.py:57-74); this gives the VFS
+        pipeline the same corpus surface — identical status tuples,
+        skipifexist resume, nbtry/trydelay retry with randomized backoff —
+        so VFS jobs run through the job farm / CLI unchanged.
+
+        Returns (total_duration_s, n_processed, avg_s_per_file, lmsg) with
+        lmsg entries (dst, 0|1|2, 'ok t'|'already exists'|'error: ...').
+        """
+        import random
+        import sys
+        import time
+
+        t0 = time.time()
+        lmsg = []
+        for src, dst in zip(linput, loutput):
+            if skipifexist and os.path.exists(dst):
+                lmsg.append((dst, 1, "already exists"))
+                if verbose:
+                    print("%d/%d" % (len(lmsg), len(linput)), [lmsg[-1]])
+                continue
+            dname = os.path.dirname(dst)
+            if dname and not os.path.isdir(dname):
+                os.makedirs(dname, exist_ok=True)
+            b = time.time()
+            result = err = None
+            for itry in range(nbtry):
+                try:
+                    result = self(src)
+                    break
+                except Exception:
+                    err = sys.exc_info()[0]
+                    if itry != nbtry - 1:
+                        time.sleep(random.random() * trydelay)
+            if result is None:
+                lmsg.append((dst, 2, "error: " + str(err)))
+            else:
+                score, speech_dur, n_vec = result
+                with open(dst, "w") as fh:
+                    fh.write("score\tspeech_duration\tnb_vectors\n")
+                    fh.write("%s\t%s\t%d\n" % (
+                        "" if score is None else repr(float(score)),
+                        repr(float(speech_dur)), n_vec))
+                lmsg.append((dst, 0, "ok " + str(time.time() - b)))
+            if verbose:
+                print("%d/%d" % (len(lmsg), len(linput)), [lmsg[-1]])
+        dur = time.time() - t0
+        n_ok = len([e for e in lmsg if e[1] == 0])
+        return dur, n_ok, dur / n_ok if n_ok else -1, lmsg
+
+    def batch_process(self, linput, loutput, verbose=False, skipifexist=False,
+                      nbtry=1, trydelay=2., output_format="csv"):
+        """Job-farm adapter: `client_work_loop` calls batch_process on its
+        worker; VFS jobs reuse batch_score (output_format fixed to csv)."""
+        assert output_format == "csv", "VFS batch output is csv only"
+        return self.batch_score(linput, loutput, verbose=verbose,
+                                skipifexist=skipifexist, nbtry=nbtry,
+                                trydelay=trydelay)
+
 
 def _load_resnet_npz(path):
     """Load a native ResNet checkpoint saved with save_resnet_npz."""

@@ -105,3 +105,31 @@ def test_window_layout(vfs, media_dir):
     assert segs[-1] == (2.64, 4.0)
     for _, _, x in xv:
         assert x.shape == (256,)
+
+
+def test_vfs_batch_score(vfs, media_dir, tmp_path):
+    """batch_score: status tuples, skipifexist resume, csv outputs."""
+    import os
+
+    ins = [f"{media_dir}/silence2sec.wav", f"{media_dir}/lamartine.wav",
+           str(tmp_path / "missing.wav")]
+    outs = [str(tmp_path / f"s{i}.csv") for i in range(3)]
+    dur, n_ok, avg, lmsg = vfs.batch_score(ins, outs, nbtry=2, trydelay=0.01)
+    assert n_ok == 2
+    assert [m[1] for m in lmsg] == [0, 0, 2]
+    with open(outs[0]) as fh:
+        header, row = fh.read().splitlines()
+    assert header == "score\tspeech_duration\tnb_vectors"
+    assert row.split("\t") == ["", "0.0", "0"]   # silence: score None
+    assert not os.path.exists(outs[2])
+
+    # resume: existing outputs skipped, same tuple contract as batch_process
+    mtime = os.path.getmtime(outs[0])
+    _, n_ok2, _, lmsg2 = vfs.batch_score(ins, outs, skipifexist=True)
+    assert n_ok2 == 0
+    assert [m[1] for m in lmsg2] == [1, 1, 2]
+    assert os.path.getmtime(outs[0]) == mtime
+
+    # farm adapter delegates to batch_score
+    _, _, _, lmsg3 = vfs.batch_process(ins, outs, skipifexist=True)
+    assert [m[1] for m in lmsg3] == [1, 1, 2]
