@@ -262,15 +262,23 @@ class Segmenter:
                 return None, (dst, 2, "error: " + str(errmsg))
             return ret, (dst, 0, "ok")
 
-        # prefetch exactly one file ahead: the next file's decode+features
-        # overlap the current file's device inference (the reference's
-        # featGenerator/ThreadReturning pattern, segmenter.py:377-387)
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(produce, lin[0]) if lin else None
+        # prefetch `depth` files ahead: the next files' decode+features
+        # overlap the current file's device inference (generalizes the
+        # reference's one-ahead featGenerator/ThreadReturning pattern,
+        # segmenter.py:377-387 — with the host frontend, feature FFTs of
+        # several files run in parallel since scipy/BLAS release the GIL).
+        # One-ahead on low-core hosts: concurrent producers just contend
+        # (measured 2x slower on a 1-core TPU host).
+        default_depth = "2" if (os.cpu_count() or 1) >= 4 else "1"
+        depth = max(1, int(os.environ.get("ISS_PREFETCH", default_depth)))
+        with ThreadPoolExecutor(max_workers=depth) as pool:
+            futs = {i: pool.submit(produce, lin[i])
+                    for i in range(min(depth, len(lin)))}
             for i, (src, dst) in enumerate(lin):
-                feats, msg = fut.result()
-                fut = (pool.submit(produce, lin[i + 1])
-                       if i + 1 < len(lin) else None)
+                feats, msg = futs.pop(i).result()
+                j = i + depth
+                if j < len(lin):
+                    futs[j] = pool.submit(produce, lin[j])
                 lmsg.append(msg)
                 if verbose:
                     print("%d/%d" % (len(lmsg), len(linput)), [msg])
@@ -288,13 +296,64 @@ class Segmenter:
         return t_batch_dur, nb_processed, avg, lmsg
 
 
+_LINK_MBPS = None
+
+
+def _link_bandwidth_mbps():
+    """Measure host->device link bandwidth once per process (MB/s)."""
+    global _LINK_MBPS
+    if _LINK_MBPS is None:
+        import jax
+        import jax.numpy as jnp
+
+        buf = np.zeros(1 << 20, np.float32)          # 4 MB
+        jax.block_until_ready(jnp.asarray(buf))      # warm the path
+        t0 = time.perf_counter()
+        jax.block_until_ready(jnp.asarray(np.ones(2 << 20, np.float32)))
+        _LINK_MBPS = 8.0 / max(time.perf_counter() - t0, 1e-6)
+    return _LINK_MBPS
+
+
 def _default_frontend():
-    """jnp frontend by default; the fused Pallas kernel via ISS_FRONTEND=pallas
-    (both parity-tested against the numpy reference)."""
-    if os.environ.get("ISS_FRONTEND") == "pallas":
+    """Frontend selection (all variants parity-tested against the numpy
+    reference):
+
+    * `jnp`   — on-device features, raw signal uploaded (default on CPU and
+                on fat-link hosts: the chip computes features ~free and the
+                host CPU stays idle);
+    * `host`  — features on the host CPU, only (mspec, loge) uploaded —
+                3.2x fewer link bytes than int16 PCM; wins when the
+                host->device link, not the chip, bounds throughput;
+    * `pallas`— fused on-device feature kernel (dsp/pallas_fe.py).  Kept
+                opt-in: features are ~5% of the device budget, and measured
+                end-to-end it is upload-bound exactly like `jnp`, so the
+                kernel cannot pay for its extra compile time (see
+                docs/performance.md);
+    * `auto`  (default) — `jnp` on CPU; on accelerators pick `host` only
+                when the host has enough cores to hide feature FFTs behind
+                device work (>= 4) AND the measured link is slow
+                (< 250 MB/s).  On single-core hosts the accelerator runtime's
+                busy-wait threads starve host numpy whenever device work is
+                in flight, so host features cannot overlap and `jnp` wins
+                regardless of link speed.
+    """
+    choice = os.environ.get("ISS_FRONTEND", "auto")
+    if choice == "pallas":
         from .dsp.pallas_fe import PallasSidekitFrontend
 
         return PallasSidekitFrontend()
+    if choice == "host":
+        from .dsp.host_fe import HostSidekitFrontend
+
+        return HostSidekitFrontend()
+    if choice == "auto":
+        import jax
+
+        if jax.default_backend() != "cpu" and (os.cpu_count() or 1) >= 4 \
+                and _link_bandwidth_mbps() < 250:
+            from .dsp.host_fe import HostSidekitFrontend
+
+            return HostSidekitFrontend()
     return SidekitFrontend()
 
 
