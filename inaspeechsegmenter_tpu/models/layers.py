@@ -12,9 +12,32 @@ Dropout is identity) — matching `keras.Model.predict`.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# CNN matmul/conv precision (ISS_CNN_PRECISION):
+#   highest (default) — exact f32 (6-pass); required for the <=0.1%
+#                       frame-label parity budget vs the TF reference
+#                       (bf16 measured 3/1024 argmax flips on random
+#                       weights, DEFAULT precision 0.5% in round 1);
+#   high              — bf16 3-pass (~1e-6 rel err; 0 flips measured);
+#   default / bf16    — single-pass bf16: 2.9x faster end-to-end on the
+#                       patch CNN (63 ms vs 174 ms per 43k patches on
+#                       v5e) for deployments that accept ~1% boundary
+#                       wobble.
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+    "bf16": jax.lax.Precision.DEFAULT,
+}
+
+
+def cnn_precision():
+    return _PRECISIONS[os.environ.get("ISS_CNN_PRECISION", "highest").lower()]
 
 
 def _activation(name, x):
@@ -91,7 +114,7 @@ def conv2d(cfg, params, x):
             x, kernel, window_strides=strides, padding=padding,
             rhs_dilation=dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=jax.lax.Precision.HIGHEST)
+            precision=cnn_precision())
     if cfg.get("use_bias", True):
         out = out + params[1]
     return _activation(cfg.get("activation"), out)
@@ -107,7 +130,7 @@ def depthwise_conv2d(cfg, params, x):
         window_strides=strides, padding=padding,
         feature_group_count=cin,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST)
+        precision=cnn_precision())
     if cfg.get("use_bias", True):
         out = out + params[1]
     return _activation(cfg.get("activation"), out)
@@ -121,14 +144,14 @@ def conv1d(cfg, params, x):
     out = jax.lax.conv_general_dilated(
         x, kernel, window_strides=strides, padding=padding,
         dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=jax.lax.Precision.HIGHEST)
+        precision=cnn_precision())
     if cfg.get("use_bias", True):
         out = out + params[1]
     return _activation(cfg.get("activation"), out)
 
 
 def dense(cfg, params, x):
-    out = jnp.dot(x, params[0], precision=jax.lax.Precision.HIGHEST)
+    out = jnp.dot(x, params[0], precision=cnn_precision())
     if cfg.get("use_bias", True):
         out = out + params[1]
     return _activation(cfg.get("activation"), out)

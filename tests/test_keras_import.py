@@ -103,3 +103,26 @@ def test_keras2_style_spec(rng):
     assert _parse_inbound([[["conv_1", 0, 0, {}]]]) == ["conv_1"]
     assert _parse_inbound([[["a", 0, 0], ["b", 0, 0]]]) == ["a", "b"]
     assert _parse_inbound([]) == []
+
+
+def test_cnn_precision_knob(monkeypatch):
+    """ISS_CNN_PRECISION maps to lax.Precision and the forward still runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from inaspeechsegmenter_tpu.models import layers as L
+    from inaspeechsegmenter_tpu.models.synthetic import build_patch_cnn
+    from inaspeechsegmenter_tpu.models.keras_h5 import build_forward
+
+    assert L.cnn_precision() == jax.lax.Precision.HIGHEST  # default
+    spec, params = build_patch_cnn(21, 3, seed=0, size="small")
+    x = jnp.zeros((2, 68, 21, 1), jnp.float32)
+    outs = {}
+    for mode, want in [("highest", jax.lax.Precision.HIGHEST),
+                       ("high", jax.lax.Precision.HIGH),
+                       ("bf16", jax.lax.Precision.DEFAULT)]:
+        monkeypatch.setenv("ISS_CNN_PRECISION", mode)
+        assert L.cnn_precision() == want
+        outs[mode] = np.asarray(build_forward(spec)(params, x))
+    # identical graph topology; numerics agree to f32-ish on CPU
+    np.testing.assert_allclose(outs["highest"], outs["bf16"], atol=2e-2)
