@@ -122,14 +122,13 @@ class SidekitFrontend:
         return self._chunk_feats(s)
 
     # ---- public API ------------------------------------------------------
-    def mspec_loge(self, sig, pad_frames_to: int | None = None):
-        """Compute (mspec, loge, n_frames) for a 1-D float signal.
+    def mspec_loge_chunks(self, sig, pad_frames_to: int | None = None):
+        """Per-chunk device features: ([(mspec_c, loge_c)], n_frames).
 
-        Returns device arrays padded up to a whole number of chunks (garbage
-        past `n_frames`); callers slice or mask with `n_frames`.
-
-        :param pad_frames_to: optionally force at least this many (padded)
-            frames, to stabilize jit cache keys across files.
+        Each element covers CHUNK frames; uploads and chunk programs are
+        dispatched asynchronously in order, so a consumer that only needs
+        chunk c (e.g. the streaming CNN path) is not serialized on the
+        whole file's transfer.
         """
         keep = np.int16 if np.asarray(sig).dtype == np.int16 else np.float32
         sig = np.ascontiguousarray(sig, dtype=keep)
@@ -147,6 +146,18 @@ class SidekitFrontend:
         outs = [self._one_chunk(jnp.asarray(
                     sig[i * CHUNK * HOP: (i * CHUNK + CHUNK + 2) * HOP]))
                 for i in range(n_chunks)]
+        return outs, t
+
+    def mspec_loge(self, sig, pad_frames_to: int | None = None):
+        """Compute (mspec, loge, n_frames) for a 1-D float signal.
+
+        Returns device arrays padded up to a whole number of chunks (garbage
+        past `n_frames`); callers slice or mask with `n_frames`.
+
+        :param pad_frames_to: optionally force at least this many (padded)
+            frames, to stabilize jit cache keys across files.
+        """
+        outs, t = self.mspec_loge_chunks(sig, pad_frames_to)
         mspec = jnp.concatenate([m for m, _ in outs])
         loge = jnp.concatenate([l for _, l in outs])
         return mspec, loge, t

@@ -34,10 +34,11 @@ import os
 
 from .decode.transitions import log_trans_exp, diag_trans_exp
 from .decode.viterbi import _viterbi_scan, _viterbi_parallel
-from .dsp.patches import normalized_windows_ext, LPAD
+from .dsp.patches import normalized_windows_ext, LPAD, PATCH_W
 
 CNN_CHUNK = 1024  # patches per CNN invocation inside lax.map
 EPS = 1e-10
+STREAM_HALO = 40  # mel rows borrowed from neighbor chunks (>= 2*LPAD + 2)
 
 
 def default_viterbi_mode():
@@ -85,6 +86,8 @@ class FusedPipeline:
         self.v_init = jnp.full((self.vad_nout,),
                                float(np.log(1.0 / self.vad_nout)), jnp.float32)
         self._jit_run = None
+        self._jit_vad_chunk = None
+        self._jit_tail = None
 
     # -- helpers (all traced) ----------------------------------------------
 
@@ -186,6 +189,120 @@ class FusedPipeline:
         return self._jit_run(vad_params, g_params, mspec_pad, loge_pad,
                              jnp.int32(n_frames), jnp.int32(n_frames_patch),
                              jnp.int32(n20))
+
+    # -- streaming single-file path -----------------------------------------
+    #
+    # The fused program above is one XLA computation: it cannot start before
+    # the LAST feature chunk has landed on the device, so on link-limited
+    # hosts a single file pays upload + full compute serially.  The streaming
+    # decomposition dispatches one VAD-CNN program per feature chunk — each
+    # depends only on chunks c-1..c+1, so CNN emissions execute while later
+    # chunks are still in flight — and a tail program (energy Viterbi, VAD
+    # Viterbi, gender CNN + Viterbi) that alone waits for the whole file.
+    # The gender CNN cannot stream: its input segments come from the global
+    # VAD decode (reference semantics, segmenter.py:270-274).
+    #
+    # Exactness: patch j reads mel rows [2*clip(j-17, 0, n_rows-1), +68)
+    # (dsp/patches.py).  For a chunk starting at 20 ms frame j0 the program
+    # sees rows [2*j0 - STREAM_HALO, 2*(j0 + C20) + STREAM_HALO) assembled
+    # from the neighbor chunks, so unclipped patches are plain static
+    # slices; the left clip only occurs in chunk 0 (replicate window 0) and
+    # the right clip/replicate edge is repaired exactly in the tail by
+    # recomputing the single last valid window (`_fix_right_edge`).
+
+    def _vad_chunk_impl(self, vad_params, prev_tail, own, next_head,
+                        is_first):
+        nmel = self.vad_nmel
+        m = jnp.concatenate([prev_tail, own, next_head])[:, :nmel]
+        c20 = own.shape[0] // 2
+        n_w = (m.shape[0] - PATCH_W) // 2 + 1
+        cols = [jax.lax.slice(m, (k, 0), (k + 2 * (n_w - 1) + 1, nmel),
+                              (2, 1)) for k in range(PATCH_W)]
+        w = jnp.stack(cols, axis=1).reshape(n_w, -1)
+        mean = jnp.mean(w, axis=1, keepdims=True)
+        std = jnp.std(w, axis=1, keepdims=True)
+        norm = (w - mean) / std
+        finite = jnp.all(jnp.isfinite(norm), axis=1)
+        base = STREAM_HALO // 2 - LPAD          # unclipped patch l -> w[l+base]
+        if is_first:
+            # left replicate: frames l < 17 use window 0 (= w[HALO/2])
+            z = STREAM_HALO // 2
+            sel = jnp.concatenate([
+                jnp.broadcast_to(norm[z:z + 1], (LPAD, norm.shape[1])),
+                norm[z:z + c20 - LPAD]])
+            fin = jnp.concatenate([
+                jnp.broadcast_to(finite[z:z + 1], (LPAD,)),
+                finite[z:z + c20 - LPAD]])
+        else:
+            sel = norm[base:base + c20]
+            fin = finite[base:base + c20]
+        p = self.vad_forward(vad_params,
+                             sel.reshape(c20, PATCH_W, nmel)[..., None])
+        return jnp.where(fin[:, None], p, 0.5)
+
+    def _fix_right_edge(self, forward, params, mspec_pad, probs,
+                        n_frames_patch, nmel):
+        """Overwrite replicate-edge frames (j > n_rows + 16) with the
+        prediction of the last valid window — the reference's right
+        replicate padding (segmenter.py:83-85), done once, exactly."""
+        n_rows = jnp.maximum((n_frames_patch - PATCH_W) // 2 + 1, 1)
+        lastw = jax.lax.dynamic_slice(
+            mspec_pad[:, :nmel], (2 * (n_rows - 1), 0), (PATCH_W, nmel))
+        flat = lastw.reshape(1, -1)
+        norm = (flat - jnp.mean(flat)) / jnp.std(flat)
+        fin = jnp.all(jnp.isfinite(norm))
+        p_last = forward(params, norm.reshape(1, PATCH_W, nmel)[..., None])[0]
+        p_last = jnp.where(fin, p_last, 0.5)
+        over = jnp.arange(probs.shape[0]) > n_rows + (LPAD - 1)
+        return jnp.where(over[:, None], p_last[None, :], probs)
+
+    def _tail_impl(self, vad_params, g_params, mspec_pad, loge_pad, probs_v,
+                   n_frames, n_frames_patch, n20):
+        energy20 = self._energy_states20(loge_pad, n_frames)
+        probs_v = self._fix_right_edge(self.vad_forward, vad_params,
+                                       mspec_pad, probs_v, n_frames_patch,
+                                       self.vad_nmel)
+        states_v = self._masked_viterbi(probs_v, energy20, n20,
+                                        self.v_trans, self.v_init)
+        labels = jnp.where(energy20, states_v + 1, 0).astype(jnp.int32)
+        if self.gender is not None:
+            speech20 = labels == 1
+            probs_g = self._cnn_probs(self.g_forward, g_params, mspec_pad,
+                                      n_frames_patch, self.g_nmel,
+                                      self.g_nout, inmask=speech20)
+            states_g = self._masked_viterbi(probs_g, speech20, n20,
+                                            self.g_trans, self.g_init)
+            labels = jnp.where(speech20,
+                               states_g + 1 + self.vad_nout, labels)
+        return labels
+
+    def run_streaming(self, vad_params, g_params, chunks, n_frames,
+                      n_frames_patch, n20):
+        """Streaming execution over per-chunk features.
+
+        :param chunks: [(mspec_c (C,nmel'), loge_c (C,))] device arrays,
+            C = feature chunk size (even), len(chunks) >= 2.
+        :return: (T20pad,) int32 labels, T20pad = len(chunks)*C/2.
+        """
+        if self._jit_vad_chunk is None:
+            self._jit_vad_chunk = jax.jit(self._vad_chunk_impl,
+                                          static_argnums=(4,))
+            self._jit_tail = jax.jit(self._tail_impl)
+        nmel_all = chunks[0][0].shape[1]
+        zeros = jnp.zeros((STREAM_HALO, nmel_all), chunks[0][0].dtype)
+        probs = []
+        for c, (m_c, _) in enumerate(chunks):
+            prev_tail = chunks[c - 1][0][-STREAM_HALO:] if c else zeros
+            next_head = (chunks[c + 1][0][:STREAM_HALO]
+                         if c + 1 < len(chunks) else zeros)
+            probs.append(self._jit_vad_chunk(vad_params, prev_tail, m_c,
+                                             next_head, c == 0))
+        probs_v = jnp.concatenate(probs)
+        mspec_pad = jnp.concatenate([m for m, _ in chunks])
+        loge_pad = jnp.concatenate([l for _, l in chunks])
+        return self._jit_tail(vad_params, g_params, mspec_pad, loge_pad,
+                              probs_v, jnp.int32(n_frames),
+                              jnp.int32(n_frames_patch), jnp.int32(n20))
 
     def __hash__(self):
         return id(self)

@@ -215,12 +215,54 @@ class Segmenter:
 
     def __call__(self, medianame, start_sec=None, stop_sec=None):
         """Segment a media file -> [(label, start_s, stop_s)] tiling the
-        analyzed window (reference segmenter.py:279-294)."""
-        mspec, loge, t, difflen = self._media2feats(medianame, start_sec,
-                                                    stop_sec)
-        if start_sec is None:
-            start_sec = 0
-        return self._fused_segment(mspec, loge, t, difflen, start_sec)
+        analyzed window (reference segmenter.py:279-294).
+
+        Multi-chunk files take the streaming path: one VAD-CNN program per
+        feature chunk is dispatched as that chunk's upload lands, so CNN
+        emissions overlap the remaining transfers instead of waiting for the
+        whole file (pipeline.run_streaming); identical labels to the fused
+        whole-file program (asserted in tests/test_segmenter_e2e.py).
+        Disable with ISS_STREAMING=0.
+        """
+        s0 = 0 if start_sec is None else start_sec
+        stream = (os.environ.get("ISS_STREAMING", "1") != "0"
+                  and hasattr(self.frontend, "mspec_loge_chunks"))
+        if not stream:
+            mspec, loge, t, difflen = self._media2feats(medianame, start_sec,
+                                                        stop_sec)
+            return self._fused_segment(mspec, loge, t, difflen, s0)
+
+        import jax.numpy as jnp
+
+        with self.timers.time("decode"):
+            sig = media2sig16kmono(medianame, start_sec, stop_sec,
+                                   self.ffmpeg, "auto")
+        with self.timers.time("features"):
+            t = frame_count(len(sig))
+            bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK
+            chunks, t = self.frontend.mspec_loge_chunks(sig,
+                                                        pad_frames_to=bucket)
+        if t >= 68 and len(chunks) >= 2:
+            n20 = (t + 1) // 2
+            with self.timers.time("segment"):
+                ids = self.pipeline.run_streaming(
+                    self.vad.model.params,
+                    self.gender.model.params if self.detect_gender else None,
+                    chunks, t, t, n20)
+                ids = np.asarray(ids)[:n20]
+            return [(self.labels[lab], s0 + start * .02, s0 + stop * .02)
+                    for lab, start, stop in rle(ids)]
+        # short or single-chunk media: fused whole-file program
+        mspec = jnp.concatenate([m for m, _ in chunks])
+        loge = jnp.concatenate([l for _, l in chunks])
+        difflen = 0
+        if t < 68:
+            difflen = 68 - t
+            warnings.warn(
+                "media %s duration is short. Robust results require length "
+                "of at least 720 milliseconds" % medianame)
+            mspec = _pad_short_mspec(mspec, t)
+        return self._fused_segment(mspec, loge, t, difflen, s0)
 
     # ------------------------------------------------------------------
     def batch_process(self, linput, loutput, verbose=False, skipifexist=False,

@@ -166,3 +166,43 @@ def test_no_ffmpeg_restrictions(seg_smn, media_dir):
         seg_smn(f"{media_dir}/silence2sec.wav", start_sec=1.0)
     with pytest.raises(NotImplementedError):
         seg_smn("http://example.com/a.wav")
+
+
+def test_streaming_equals_fused(seg_smn, media_dir, tmp_path, monkeypatch):
+    """The streaming per-chunk path returns labels identical to the fused
+    whole-file program, including replicate edges and padded buckets."""
+    import os
+    from inaspeechsegmenter_tpu.audio import write_wav
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+
+    rng = np.random.default_rng(7)
+    files = [f"{media_dir}/musanmix.wav"]          # 74.5 s: 2 chunks
+    # a synthetic file whose frame count lands just past a chunk boundary
+    # (max replicate-edge frames in the final chunk)
+    n = (2 * CHUNK + 5) * HOP + 400
+    sig = np.clip(np.rint(rng.standard_normal(n) * 3000), -32768,
+                  32767).astype(np.int16)
+    sig[: n // 3] = 0                              # leading noEnergy region
+    p = tmp_path / "longtail.wav"
+    write_wav(str(p), sig, 16000)
+    files.append(str(p))
+
+    for f in files:
+        monkeypatch.setenv("ISS_STREAMING", "0")
+        fused = seg_smn(f)
+        monkeypatch.setenv("ISS_STREAMING", "1")
+        streamed = seg_smn(f)
+        assert streamed == fused, f
+
+
+def test_streaming_short_file_falls_back(seg_smn, tmp_path):
+    """Single-chunk and sub-68-frame media run the fused path unchanged."""
+    from inaspeechsegmenter_tpu.audio import write_wav
+
+    rng = np.random.default_rng(3)
+    short = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    p = tmp_path / "short1s.wav"
+    write_wav(str(p), np.clip(np.rint(short * 32768), -32768,
+                              32767).astype(np.int16), 16000)
+    out = seg_smn(str(p))
+    assert out and abs(out[-1][2] - 0.98) < 0.05
