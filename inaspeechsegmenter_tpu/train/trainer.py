@@ -103,3 +103,43 @@ class Trainer:
     def predict_proba(self, x):
         logits = self.forward(self.params, jnp.asarray(x))
         return np.asarray(jax.nn.softmax(logits, axis=-1))
+
+    # -- checkpoint / resume -------------------------------------------------
+    # The reference has file-granular resume only (skipifexist); training
+    # state checkpointing is a framework addition: full (params, opt_state)
+    # round-trip through one npz, shardings re-applied on restore so a
+    # resumed run continues bit-identically on the same mesh.
+
+    def save_checkpoint(self, path):
+        leaves = jax.tree_util.tree_leaves((self.params, self.opt_state))
+        np.savez(path, **{f"leaf_{i:05d}": np.asarray(a)
+                          for i, a in enumerate(leaves)})
+
+    def restore_checkpoint(self, path):
+        treedef = jax.tree_util.tree_structure((self.params, self.opt_state))
+        with np.load(path) as z:
+            leaves = [z[k] for k in sorted(z.files)]
+        own = jax.tree_util.tree_leaves((self.params, self.opt_state))
+        if len(leaves) != treedef.num_leaves:
+            raise ValueError(
+                f"checkpoint {path} has {len(leaves)} arrays, model expects "
+                f"{treedef.num_leaves} — architecture mismatch")
+        for i, (a, b) in enumerate(zip(own, leaves)):
+            if np.shape(a) != np.shape(b):
+                raise ValueError(
+                    f"checkpoint {path} leaf {i} has shape {np.shape(b)}, "
+                    f"model expects {np.shape(a)} — architecture mismatch")
+        params, opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        self.params = jax.tree_util.tree_map(
+            lambda a, s: jax.device_put(jnp.asarray(a), s), params,
+            self._pshard)
+        def put_opt(old, new):
+            sh = getattr(old, "sharding", None)
+            if not isinstance(sh, NamedSharding):
+                # scalar counts etc. — replicate on the mesh so every leaf
+                # lives on the same device set as the params
+                sh = NamedSharding(self.mesh, P())
+            return jax.device_put(jnp.asarray(new), sh)
+
+        self.opt_state = jax.tree_util.tree_map(put_opt, self.opt_state,
+                                                opt_state)

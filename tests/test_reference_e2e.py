@@ -137,8 +137,11 @@ def ref_pkg(shared_weights_dir):
     return ref
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def tpu_env(shared_weights_dir):
+    # function-scoped on purpose: the env var must be restored before any
+    # other test's fixtures resolve models (a session-scoped teardown would
+    # leave the MLP-less shared dir active for the rest of the run)
     old = os.environ.get("ISS_TPU_MODEL_DIR")
     os.environ["ISS_TPU_MODEL_DIR"] = shared_weights_dir
     yield shared_weights_dir

@@ -52,3 +52,35 @@ def test_overfit_tiny():
     trainer.fit(x, y, epochs=60, batch_size=64)
     acc = (trainer.predict_proba(x).argmax(1) == y).mean()
     assert acc > 0.9, acc
+
+
+def test_checkpoint_resume(tmp_path):
+    """save/restore round-trips (params, opt_state): a resumed trainer takes
+    bit-identical steps to an uninterrupted one."""
+    import numpy as np
+    from inaspeechsegmenter_tpu.models.synthetic import build_patch_cnn
+    from inaspeechsegmenter_tpu.train import Trainer
+
+    spec, params = build_patch_cnn(21, 3, seed=0, size="small")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 68, 21, 1)).astype(np.float32)
+    y = rng.integers(0, 3, 16).astype(np.int32)
+
+    a = Trainer(spec, params, learning_rate=1e-3)
+    a.train_step(x, y)
+    a.train_step(x, y)
+    ckpt = str(tmp_path / "step2.npz")
+    a.save_checkpoint(ckpt)
+    expected = a.train_step(x, y)
+
+    spec2, params2 = build_patch_cnn(21, 3, seed=9, size="small")
+    b = Trainer(spec2, params2, learning_rate=1e-3)
+    b.restore_checkpoint(ckpt)
+    got = b.train_step(x, y)
+    assert got == expected
+
+    wrong_spec, wrong_params = build_patch_cnn(24, 2, seed=0, size="small")
+    c = Trainer(wrong_spec, wrong_params)
+    import pytest
+    with pytest.raises(ValueError):
+        c.restore_checkpoint(ckpt)
