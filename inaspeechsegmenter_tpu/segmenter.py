@@ -322,15 +322,15 @@ class Segmenter:
                 if j < len(lin):
                     futs[j] = pool.submit(produce, lin[j])
                 lmsg.append(msg)
+                if feats is not None:
+                    mspec, loge, t, difflen = feats
+                    b = time.time()
+                    lseg = self._fused_segment(mspec, loge, t, difflen, 0)
+                    fexport(lseg, dst)
+                    lmsg[-1] = (msg[0], msg[1],
+                                "ok " + str(time.time() - b))
                 if verbose:
-                    print("%d/%d" % (len(lmsg), len(linput)), [msg])
-                if feats is None:
-                    continue
-                mspec, loge, t, difflen = feats
-                b = time.time()
-                lseg = self._fused_segment(mspec, loge, t, difflen, 0)
-                fexport(lseg, dst)
-                lmsg[-1] = (msg[0], msg[1], "ok " + str(time.time() - b))
+                    print("%d/%d" % (len(lmsg), len(linput)), [lmsg[-1]])
 
         t_batch_dur = time.time() - t_batch_start
         nb_processed = len([e for e in lmsg if e[1] == 0])

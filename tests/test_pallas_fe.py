@@ -1,6 +1,8 @@
 """Fused Pallas feature kernel parity vs the jnp frontend (interpret mode on
 CPU; the same kernel compiles natively on TPU)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -33,3 +35,43 @@ def test_kernel_matches_jnp_real(frontends, musanmix_sig):
     np.testing.assert_allclose(m2[fin], m1[fin], rtol=1e-4, atol=1e-3)
     finl = np.isfinite(l1)
     np.testing.assert_allclose(l2[finl], l1[finl], rtol=1e-5, atol=1e-4)
+
+
+def test_kernel_native_on_tpu():
+    """Native (non-interpret) Mosaic compile + parity, on real TPU only.
+
+    The suite pins JAX to a virtual CPU platform, so this runs the check in
+    a subprocess with the session's default platform; it skips unless that
+    platform is a TPU.  This is the on-device gate for the opt-in
+    ``ISS_FRONTEND=pallas`` path (see docs/performance.md for why the jnp
+    frontend stays the default).
+    """
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    code = r"""
+import sys
+import numpy as np
+import jax
+if jax.devices()[0].platform != "tpu":
+    sys.exit(77)
+from inaspeechsegmenter_tpu.dsp import SidekitFrontend
+from inaspeechsegmenter_tpu.dsp.pallas_fe import PallasSidekitFrontend
+rng = np.random.default_rng(0)
+sig = (rng.standard_normal(16000 * 30) * 0.2).astype(np.float32)
+m1, l1 = SidekitFrontend().mspec_loge_np(sig)
+m2, l2 = PallasSidekitFrontend(interpret=False).mspec_loge_np(sig)
+np.testing.assert_allclose(l2, l1, rtol=1e-5, atol=1e-5)
+np.testing.assert_allclose(m2, m1, rtol=1e-4, atol=1e-4)
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # append (not replace): PYTHONPATH may carry the TPU platform plugin
+    prev = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo + (os.pathsep + prev if prev else "")
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                       capture_output=True, text=True, timeout=600)
+    if r.returncode == 77:
+        pytest.skip("no TPU visible outside the test platform pin")
+    assert r.returncode == 0, r.stderr[-2000:]
