@@ -106,7 +106,17 @@ class VbxFrontend:
         t_bucket = -(-max(n_frames, 1) // 1024) * 1024
         need = (t_bucket + 2) * HOP
         seg = np.pad(seg, (0, max(0, need - len(seg))))[:need]
-        fea = self._fbank_cmvn_padded(jnp.asarray(seg), jnp.int32(n_frames))
+        # upload in ~4 MB pieces: the tunneled link's per-transfer cost makes
+        # mid-size transfers ~2x faster than one monolithic buffer on long
+        # files (see docs/performance.md); concatenation runs on device
+        piece = 1 << 20                                # 1M floats = 4 MB
+        if len(seg) > piece:
+            parts = [jnp.asarray(seg[i:i + piece])
+                     for i in range(0, len(seg), piece)]
+            seg_dev = jnp.concatenate(parts)
+        else:
+            seg_dev = jnp.asarray(seg)
+        fea = self._fbank_cmvn_padded(seg_dev, jnp.int32(n_frames))
         return fea[:n_frames]
 
     def __hash__(self):
