@@ -200,3 +200,51 @@ def test_reference_oracle_is_live(ref_pkg):
     assert ref_pkg.Segmenter.__module__ == "inaSpeechSegmenter.segmenter"
     src = sys.modules["inaSpeechSegmenter.segmenter"].__file__
     assert src.startswith(REF_ROOT)
+
+
+def test_reference_batch_csv_byte_parity(ref_pkg, tpu_env, tmp_path):
+    """batch_process: CSVs written by the reference and by this framework
+    are byte-identical (export formatting + orchestration, not just the
+    committed golden fixtures)."""
+    import filecmp
+
+    from inaspeechsegmenter_tpu import Segmenter
+
+    ref_seg = ref_pkg.Segmenter(vad_engine="smn", detect_gender=True,
+                                ffmpeg=None)
+    tpu_seg = Segmenter(vad_engine="smn", detect_gender=True, ffmpeg=None,
+                        allow_download=False)
+    lin = [os.path.join(MEDIA, w) for w in WAVS]
+    ref_out = [str(tmp_path / "ref" / (w + ".csv")) for w in WAVS]
+    tpu_out = [str(tmp_path / "tpu" / (w + ".csv")) for w in WAVS]
+    r_ret = ref_seg.batch_process(lin, ref_out)
+    t_ret = tpu_seg.batch_process(lin, tpu_out)
+    assert r_ret[1] == t_ret[1] == len(WAVS)          # nb_processed
+    assert [m[1] for m in r_ret[3]] == [m[1] for m in t_ret[3]]
+    for rf, tf_ in zip(ref_out, tpu_out):
+        assert filecmp.cmp(rf, tf_, shallow=False), (rf, tf_)
+
+
+def test_reference_segment_feats_offset(ref_pkg, tpu_env):
+    """segment_feats with a nonzero start_sec: the frame->seconds offset
+    conversion matches the reference (segmenter.py:276)."""
+    from inaspeechsegmenter_tpu import Segmenter
+
+    _install_shims()
+    sig, sr = _sf_read(os.path.join(MEDIA, "musanmix.wav"), dtype="float32")
+    assert sr == 16000
+    mspec, loge, difflen = ref_pkg.segmenter._media2feats(
+        os.path.join(MEDIA, "musanmix.wav"), None, None, None)
+
+    ref_seg = ref_pkg.Segmenter(vad_engine="smn", detect_gender=True,
+                                ffmpeg=None)
+    tpu_seg = Segmenter(vad_engine="smn", detect_gender=True, ffmpeg=None,
+                        allow_download=False)
+    start = 12.34
+    r = ref_seg.segment_feats(mspec, loge, difflen, start)
+    t = tpu_seg.segment_feats(mspec, loge, difflen, start)
+    assert r[0][1] == start and t[0][1] == start
+    # same frame budget as the main e2e, after removing the offset
+    r0 = [(lab, s - start, e - start) for lab, s, e in r]
+    t0 = [(lab, s - start, e - start) for lab, s, e in t]
+    _assert_frame_parity(r0, t0)
