@@ -19,15 +19,18 @@ import jax.numpy as jnp
 import numpy as np
 
 # CNN matmul/conv precision (ISS_CNN_PRECISION):
-#   highest (default) — exact f32 (6-pass); required for the <=0.1%
-#                       frame-label parity budget vs the TF reference
-#                       (bf16 measured 3/1024 argmax flips on random
-#                       weights, DEFAULT precision 0.5% in round 1);
-#   high              — bf16 3-pass (~1e-6 rel err; 0 flips measured);
-#   default / bf16    — single-pass bf16: 2.9x faster end-to-end on the
-#                       patch CNN (63 ms vs 174 ms per 43k patches on
-#                       v5e) for deployments that accept ~1% boundary
-#                       wobble.
+#   highest           — exact f32 (6-pass); the bit-parity reference mode
+#                       and the CPU default (where it is also the fast
+#                       path);
+#   high              — bf16 3-pass; the TPU default: measured ZERO
+#                       frame-label diffs vs `highest` over 34,455 frames
+#                       of mixed real+synthetic audio on v5e (full-size
+#                       weights), well inside the <=0.1% budget, at ~2x
+#                       the CNN throughput (single-pass bf16 measured
+#                       3/1024 argmax flips, DEFAULT 0.5% — not default);
+#   default / bf16    — single-pass bf16: 2.9x faster on the patch CNN
+#                       (63 ms vs 174 ms per 43k patches on v5e) for
+#                       deployments that accept ~1% boundary wobble.
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
@@ -37,7 +40,10 @@ _PRECISIONS = {
 
 
 def cnn_precision():
-    return _PRECISIONS[os.environ.get("ISS_CNN_PRECISION", "highest").lower()]
+    mode = os.environ.get("ISS_CNN_PRECISION")
+    if mode is None:
+        mode = "high" if jax.default_backend() == "tpu" else "highest"
+    return _PRECISIONS[mode.lower()]
 
 
 def _activation(name, x):

@@ -83,6 +83,9 @@ def _install_shims():
 
 def _make_cnn(nmel, n_out, seed):
     keras = tf.keras
+    # deterministic regardless of suite ordering: layer kernel inits draw
+    # from TF's global RNG, which other tests advance
+    keras.utils.set_random_seed(seed)
     rng = np.random.default_rng(seed)
     model = keras.Sequential([
         keras.layers.Input((68, nmel, 1)),

@@ -244,11 +244,15 @@ def _build_pair(vfs_env, criteria="bgc"):
 
 
 def test_reference_vfs_strict_shared_vad(vfs_env):
-    """Pin both frameworks to one VAD output: everything downstream
-    (windowing, overlap filtering, back-fill, MLP, score) must agree."""
+    """Pin both frameworks to one synthetic VAD timeline: everything
+    downstream (windowing, overlap filtering, back-fill, MLP, score) must
+    agree exactly.  The timeline is chosen so some windows pass the
+    midpoint test but fail the overlap threshold (exercising back-fill)."""
     ref, tpu = _build_pair(vfs_env)
     path = os.path.join(MEDIA, "lamartine.wav")
-    vad_out = ref.vad(path)
+    vad_out = [("speech", 0.0, 2.1), ("noise", 2.1, 3.4),
+               ("speech", 3.4, 7.9), ("music", 7.9, 9.05),
+               ("speech", 9.05, 13.0), ("noEnergy", 13.0, 15.0)]
 
     ref.vad = lambda p: vad_out
     tpu.vad = lambda p: vad_out
@@ -269,10 +273,13 @@ def test_reference_vfs_end_to_end(vfs_env, wav):
     r_score, r_dur, r_n = ref(path)
     t_score, t_dur, t_n = tpu(path)
     assert abs(r_dur - t_dur) <= 0.1, (r_dur, t_dur)
-    if r_n == 0 and t_n == 0:
-        assert r_score is None and t_score is None
-        return
     assert abs(r_n - t_n) <= 1, (r_n, t_n)
+    if r_n == 0 or t_n == 0:
+        # synthetic random CNNs may detect (almost) no speech; the VAD
+        # agreement above is then the whole check
+        assert (r_score is None) == (r_n == 0)
+        assert (t_score is None) == (t_n == 0)
+        return
     n = max(r_n, t_n)
     assert abs(r_score - t_score) <= 2.0 / n, (r_score, t_score, n)
 
