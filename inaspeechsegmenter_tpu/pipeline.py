@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import os
+from functools import partial
 
 from .decode.transitions import log_trans_exp, diag_trans_exp
 from .decode.viterbi import _viterbi_scan, _viterbi_parallel
@@ -87,7 +88,9 @@ class FusedPipeline:
                                float(np.log(1.0 / self.vad_nout)), jnp.float32)
         self._jit_run = None
         self._jit_vad_chunk = None
+        self._jit_g_chunk = None
         self._jit_tail = None
+        self._jit_tail_pre = None
 
     # -- helpers (all traced) ----------------------------------------------
 
@@ -199,8 +202,16 @@ class FusedPipeline:
     # depends only on chunks c-1..c+1, so CNN emissions execute while later
     # chunks are still in flight — and a tail program (energy Viterbi, VAD
     # Viterbi, gender CNN + Viterbi) that alone waits for the whole file.
-    # The gender CNN cannot stream: its input segments come from the global
-    # VAD decode (reference semantics, segmenter.py:270-274).
+    # The gender Viterbi consumes only speech segments from the global VAD
+    # decode (reference semantics, segmenter.py:270-274), but the gender CNN
+    # *emissions* are per-patch and segment-independent (per-patch mean/std
+    # normalization, segmenter.py:86) — so they CAN stream speculatively
+    # over all chunks (ISS_STREAM_GENDER=1), exactly equal on the frames
+    # the Viterbi later reads.  Measured on the tunneled v5e host it is
+    # net-slower (799x vs 872x median single-file RTF): the extra per-chunk
+    # dispatches contend with the upload stream and the bf16-high gender
+    # CNN in the tail is cheap — so gender-in-tail is the default and
+    # speculation stays an opt-in for hosts with slow CNNs + fast links.
     #
     # Exactness: patch j reads mel rows [2*clip(j-17, 0, n_rows-1), +68)
     # (dsp/patches.py).  For a chunk starting at 20 ms frame j0 the program
@@ -210,9 +221,8 @@ class FusedPipeline:
     # the right clip/replicate edge is repaired exactly in the tail by
     # recomputing the single last valid window (`_fix_right_edge`).
 
-    def _vad_chunk_impl(self, vad_params, prev_tail, own, next_head,
-                        is_first):
-        nmel = self.vad_nmel
+    def _chunk_probs_impl(self, forward, nmel, params, prev_tail, own,
+                          next_head, is_first):
         m = jnp.concatenate([prev_tail, own, next_head])[:, :nmel]
         c20 = own.shape[0] // 2
         n_w = (m.shape[0] - PATCH_W) // 2 + 1
@@ -236,8 +246,7 @@ class FusedPipeline:
         else:
             sel = norm[base:base + c20]
             fin = finite[base:base + c20]
-        p = self.vad_forward(vad_params,
-                             sel.reshape(c20, PATCH_W, nmel)[..., None])
+        p = forward(params, sel.reshape(c20, PATCH_W, nmel)[..., None])
         return jnp.where(fin[:, None], p, 0.5)
 
     def _fix_right_edge(self, forward, params, mspec_pad, probs,
@@ -276,6 +285,27 @@ class FusedPipeline:
                                states_g + 1 + self.vad_nout, labels)
         return labels
 
+    def _tail_pre_impl(self, vad_params, g_params, mspec_pad, loge_pad,
+                       probs_v, probs_g, n_frames, n_frames_patch, n20):
+        """Tail when gender emissions were streamed speculatively:
+        Viterbi-only work after the last chunk lands."""
+        energy20 = self._energy_states20(loge_pad, n_frames)
+        probs_v = self._fix_right_edge(self.vad_forward, vad_params,
+                                       mspec_pad, probs_v, n_frames_patch,
+                                       self.vad_nmel)
+        states_v = self._masked_viterbi(probs_v, energy20, n20,
+                                        self.v_trans, self.v_init)
+        labels = jnp.where(energy20, states_v + 1, 0).astype(jnp.int32)
+        speech20 = labels == 1
+        probs_g = self._fix_right_edge(self.g_forward, g_params,
+                                       mspec_pad, probs_g, n_frames_patch,
+                                       self.g_nmel)
+        states_g = self._masked_viterbi(probs_g, speech20, n20,
+                                        self.g_trans, self.g_init)
+        labels = jnp.where(speech20,
+                           states_g + 1 + self.vad_nout, labels)
+        return labels
+
     def run_streaming(self, vad_params, g_params, chunks, n_frames,
                       n_frames_patch, n20):
         """Streaming execution over per-chunk features.
@@ -285,21 +315,39 @@ class FusedPipeline:
         :return: (T20pad,) int32 labels, T20pad = len(chunks)*C/2.
         """
         if self._jit_vad_chunk is None:
-            self._jit_vad_chunk = jax.jit(self._vad_chunk_impl,
-                                          static_argnums=(4,))
+            self._jit_vad_chunk = jax.jit(
+                partial(self._chunk_probs_impl, self.vad_forward,
+                        self.vad_nmel), static_argnums=(4,))
             self._jit_tail = jax.jit(self._tail_impl)
+            if self.gender is not None:
+                self._jit_g_chunk = jax.jit(
+                    partial(self._chunk_probs_impl, self.g_forward,
+                            self.g_nmel), static_argnums=(4,))
+                self._jit_tail_pre = jax.jit(self._tail_pre_impl)
+        spec_gender = (self.gender is not None and
+                       os.environ.get("ISS_STREAM_GENDER", "0") == "1")
         nmel_all = chunks[0][0].shape[1]
         zeros = jnp.zeros((STREAM_HALO, nmel_all), chunks[0][0].dtype)
-        probs = []
+        probs, probs_gl = [], []
         for c, (m_c, _) in enumerate(chunks):
             prev_tail = chunks[c - 1][0][-STREAM_HALO:] if c else zeros
             next_head = (chunks[c + 1][0][:STREAM_HALO]
                          if c + 1 < len(chunks) else zeros)
             probs.append(self._jit_vad_chunk(vad_params, prev_tail, m_c,
                                              next_head, c == 0))
+            if spec_gender:
+                probs_gl.append(self._jit_g_chunk(g_params, prev_tail, m_c,
+                                                  next_head, c == 0))
         probs_v = jnp.concatenate(probs)
         mspec_pad = jnp.concatenate([m for m, _ in chunks])
         loge_pad = jnp.concatenate([l for _, l in chunks])
+        if spec_gender:
+            return self._jit_tail_pre(vad_params, g_params, mspec_pad,
+                                      loge_pad, probs_v,
+                                      jnp.concatenate(probs_gl),
+                                      jnp.int32(n_frames),
+                                      jnp.int32(n_frames_patch),
+                                      jnp.int32(n20))
         return self._jit_tail(vad_params, g_params, mspec_pad, loge_pad,
                               probs_v, jnp.int32(n_frames),
                               jnp.int32(n_frames_patch), jnp.int32(n20))

@@ -193,6 +193,11 @@ def test_streaming_equals_fused(seg_smn, media_dir, tmp_path, monkeypatch):
         monkeypatch.setenv("ISS_STREAMING", "1")
         streamed = seg_smn(f)
         assert streamed == fused, f
+        # opt-in speculative gender emissions must be exact too
+        monkeypatch.setenv("ISS_STREAM_GENDER", "1")
+        spec = seg_smn(f)
+        monkeypatch.delenv("ISS_STREAM_GENDER")
+        assert spec == fused, f
 
 
 def test_streaming_short_file_falls_back(seg_smn, tmp_path):
