@@ -34,7 +34,8 @@ import os
 from functools import partial
 
 from .decode.transitions import log_trans_exp, diag_trans_exp
-from .decode.viterbi import _viterbi_scan, _viterbi_parallel
+from .decode.viterbi import (_viterbi_scan, _viterbi_parallel,
+                             _viterbi_blocked)
 from .dsp.patches import normalized_windows_ext, LPAD, PATCH_W
 
 CNN_CHUNK = 1024  # patches per CNN invocation inside lax.map
@@ -43,13 +44,13 @@ STREAM_HALO = 40  # mel rows borrowed from neighbor chunks (>= 2*LPAD + 2)
 
 
 def default_viterbi_mode():
-    """'parallel' (log-depth associative scan) on accelerators, 'scan'
+    """'blocked' (two-level scan-block decode) on accelerators, 'scan'
     (sequential, reference-rounding-exact) on CPU; override with
     ISS_VITERBI_MODE."""
     mode = os.environ.get("ISS_VITERBI_MODE")
-    if mode in ("scan", "parallel"):
+    if mode in ("scan", "parallel", "blocked"):
         return mode
-    return "scan" if jax.default_backend() == "cpu" else "parallel"
+    return "scan" if jax.default_backend() == "cpu" else "blocked"
 
 
 def _shift_right(x):
@@ -70,7 +71,9 @@ class FusedPipeline:
         # anyway and compile time doubles)
         self.skip_inactive = skip_inactive
         mode = viterbi_mode or default_viterbi_mode()
-        self._viterbi = _viterbi_parallel if mode == "parallel" else _viterbi_scan
+        self._viterbi = {"parallel": _viterbi_parallel,
+                         "blocked": _viterbi_blocked,
+                         "scan": _viterbi_scan}[mode]
         self.vad_forward, self.vad_nmel, self.vad_nout, vad_arg = vad
         self.gender = gender
         if gender is not None:

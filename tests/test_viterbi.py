@@ -107,6 +107,24 @@ def test_parallel_equals_sequential():
         np.testing.assert_array_equal(seq, par)
 
 
+def test_blocked_equals_sequential():
+    """The two-level blocked decode must match the sequential scan across
+    block-boundary, padding, and reset cases (block size 256)."""
+    from inaspeechsegmenter_tpu.decode.viterbi import viterbi_path
+
+    rng = np.random.default_rng(31)
+    for t, k in [(64, 2), (256, 3), (257, 2), (511, 3), (512, 2),
+                 (1000, 3), (4096, 4), (2, 2)]:
+        em = np.log(rng.dirichlet(np.ones(k), size=t)).astype(np.float32)
+        trans = diag_trans_exp(2, k)
+        reset = np.zeros(t, bool)
+        reset[rng.integers(0, t, size=6)] = True
+        seq = np.asarray(viterbi_path(em, trans, reset=reset))
+        blk = np.asarray(viterbi_path(em, trans, reset=reset,
+                                      parallel="blocked"))
+        np.testing.assert_array_equal(seq, blk)
+
+
 def test_long_sequence_float32_stability(ref_viterbi):
     """Renormalized f32 scan must track the f64 reference over long T."""
     rng = np.random.default_rng(23)
