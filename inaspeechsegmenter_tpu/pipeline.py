@@ -93,7 +93,6 @@ class FusedPipeline:
         self._jit_vad_chunk = None
         self._jit_g_chunk = None
         self._jit_tail = None
-        self._jit_tail_pre = None
 
     # -- helpers (all traced) ----------------------------------------------
 
@@ -269,7 +268,11 @@ class FusedPipeline:
         return jnp.where(over[:, None], p_last[None, :], probs)
 
     def _tail_impl(self, vad_params, g_params, mspec_pad, loge_pad, probs_v,
-                   n_frames, n_frames_patch, n20):
+                   n_frames, n_frames_patch, n20, probs_g=None):
+        """Streaming tail.  If gender emissions were streamed speculatively
+        they arrive as `probs_g` (needing only the right-edge repair);
+        otherwise (None — a distinct jit cache entry) the gender CNN runs
+        here on the decoded speech mask."""
         energy20 = self._energy_states20(loge_pad, n_frames)
         probs_v = self._fix_right_edge(self.vad_forward, vad_params,
                                        mspec_pad, probs_v, n_frames_patch,
@@ -279,34 +282,19 @@ class FusedPipeline:
         labels = jnp.where(energy20, states_v + 1, 0).astype(jnp.int32)
         if self.gender is not None:
             speech20 = labels == 1
-            probs_g = self._cnn_probs(self.g_forward, g_params, mspec_pad,
-                                      n_frames_patch, self.g_nmel,
-                                      self.g_nout, inmask=speech20)
+            if probs_g is None:
+                probs_g = self._cnn_probs(self.g_forward, g_params,
+                                          mspec_pad, n_frames_patch,
+                                          self.g_nmel, self.g_nout,
+                                          inmask=speech20)
+            else:
+                probs_g = self._fix_right_edge(self.g_forward, g_params,
+                                               mspec_pad, probs_g,
+                                               n_frames_patch, self.g_nmel)
             states_g = self._masked_viterbi(probs_g, speech20, n20,
                                             self.g_trans, self.g_init)
             labels = jnp.where(speech20,
                                states_g + 1 + self.vad_nout, labels)
-        return labels
-
-    def _tail_pre_impl(self, vad_params, g_params, mspec_pad, loge_pad,
-                       probs_v, probs_g, n_frames, n_frames_patch, n20):
-        """Tail when gender emissions were streamed speculatively:
-        Viterbi-only work after the last chunk lands."""
-        energy20 = self._energy_states20(loge_pad, n_frames)
-        probs_v = self._fix_right_edge(self.vad_forward, vad_params,
-                                       mspec_pad, probs_v, n_frames_patch,
-                                       self.vad_nmel)
-        states_v = self._masked_viterbi(probs_v, energy20, n20,
-                                        self.v_trans, self.v_init)
-        labels = jnp.where(energy20, states_v + 1, 0).astype(jnp.int32)
-        speech20 = labels == 1
-        probs_g = self._fix_right_edge(self.g_forward, g_params,
-                                       mspec_pad, probs_g, n_frames_patch,
-                                       self.g_nmel)
-        states_g = self._masked_viterbi(probs_g, speech20, n20,
-                                        self.g_trans, self.g_init)
-        labels = jnp.where(speech20,
-                           states_g + 1 + self.vad_nout, labels)
         return labels
 
     def run_streaming(self, vad_params, g_params, chunks, n_frames,
@@ -326,7 +314,6 @@ class FusedPipeline:
                 self._jit_g_chunk = jax.jit(
                     partial(self._chunk_probs_impl, self.g_forward,
                             self.g_nmel), static_argnums=(4,))
-                self._jit_tail_pre = jax.jit(self._tail_pre_impl)
         spec_gender = (self.gender is not None and
                        os.environ.get("ISS_STREAM_GENDER", "0") == "1")
         nmel_all = chunks[0][0].shape[1]
@@ -344,16 +331,11 @@ class FusedPipeline:
         probs_v = jnp.concatenate(probs)
         mspec_pad = jnp.concatenate([m for m, _ in chunks])
         loge_pad = jnp.concatenate([l for _, l in chunks])
-        if spec_gender:
-            return self._jit_tail_pre(vad_params, g_params, mspec_pad,
-                                      loge_pad, probs_v,
-                                      jnp.concatenate(probs_gl),
-                                      jnp.int32(n_frames),
-                                      jnp.int32(n_frames_patch),
-                                      jnp.int32(n20))
+        probs_g = jnp.concatenate(probs_gl) if spec_gender else None
         return self._jit_tail(vad_params, g_params, mspec_pad, loge_pad,
                               probs_v, jnp.int32(n_frames),
-                              jnp.int32(n_frames_patch), jnp.int32(n20))
+                              jnp.int32(n_frames_patch), jnp.int32(n20),
+                              probs_g)
 
     def __hash__(self):
         return id(self)

@@ -173,6 +173,9 @@ def _install_vfs_shims():
 
 def _make_mlp(seed):
     keras = tf.keras
+    # deterministic regardless of suite ordering (kernel inits draw from
+    # TF's global RNG)
+    keras.utils.set_random_seed(seed)
     rng = np.random.default_rng(seed)
     model = keras.Sequential([
         keras.layers.Input((EMBED_DIM,)),
@@ -212,6 +215,10 @@ def vfs_env(tmp_path_factory):
         import inaSpeechSegmenter.segmenter as ref_segmenter
     finally:
         sys.path.remove(REF_ROOT)
+    saved = {"seg_get_remote": ref_segmenter.get_remote,
+             "vbx_get_remote": ref_vbx.get_remote,
+             "vbx_Segmenter": ref_vbx.Segmenter,
+             "vbx_m2s": ref_vbx.media2sig16kmono}
     ref_segmenter.get_remote = lambda fname: os.path.join(d, fname)
     ref_vbx.get_remote = lambda fname: os.path.join(d, fname)
     # no ffmpeg binary in this env: force the reference onto its
@@ -225,6 +232,12 @@ def vfs_env(tmp_path_factory):
     os.environ["ISS_TPU_MODEL_DIR"] = d
     yield types.SimpleNamespace(ref_vbx=ref_vbx, net=net, params=params,
                                 weights_dir=d)
+    # restore the shared reference modules (session-cached in sys.modules
+    # and also patched by test_reference_e2e's fixtures)
+    ref_segmenter.get_remote = saved["seg_get_remote"]
+    ref_vbx.get_remote = saved["vbx_get_remote"]
+    ref_vbx.Segmenter = saved["vbx_Segmenter"]
+    ref_vbx.media2sig16kmono = saved["vbx_m2s"]
     if old is None:
         os.environ.pop("ISS_TPU_MODEL_DIR", None)
     else:
