@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .codec import BLOCK, pack_zero_elide
 from .mel import htk_triangular_fbank
 
 WIN = 400
@@ -41,6 +42,20 @@ HOP = 160
 NFFT = 512
 NBINS = NFFT // 2 + 1
 CHUNK = 4096  # frames per device chunk (~41 s of audio)
+
+
+def _upload_codec_enabled() -> bool:
+    """Zero-block elision on int16 uploads (dsp/codec.py).
+
+    `auto` (default): on for accelerator backends — the upload link is the
+    measured bottleneck there and reconstruction is bit-exact and ~free;
+    off on CPU where "upload" is a host memcpy that packing can only slow
+    down.  `1`/`0` force it either way.
+    """
+    mode = os.environ.get("ISS_UPLOAD_CODEC", "auto")
+    if mode == "auto":
+        return jax.default_backend() != "cpu"
+    return mode not in ("0", "off")
 
 
 def frame_count(n_samples: int) -> int:
@@ -125,6 +140,13 @@ class SidekitFrontend:
             s = s.astype(jnp.float32) * np.float32(1 / 32768.0)
         return self._chunk_feats(s)
 
+    @partial(jax.jit, static_argnames=("self", "nb"))
+    def _one_chunk_packed(self, buf, nb):
+        from .codec import unpack_zero_elide
+        s = unpack_zero_elide(buf, nb)
+        s = s.astype(jnp.float32) * np.float32(1 / 32768.0)
+        return self._chunk_feats(s)
+
     # ---- public API ------------------------------------------------------
     def mspec_loge_chunks(self, sig, pad_frames_to: int | None = None):
         """Per-chunk device features: ([(mspec_c, loge_c)], n_frames).
@@ -153,12 +175,19 @@ class SidekitFrontend:
         else:
             sig = sig[:need]
         group = max(1, int(os.environ.get("ISS_UPLOAD_CHUNKS", "3")))
+        codec = _upload_codec_enabled() and keep is np.int16
         outs = []
         for g in range(0, n_chunks, group):
             k = min(group, n_chunks - g)
-            buf = jnp.asarray(
-                sig[g * CHUNK * HOP: ((g + k) * CHUNK + 2) * HOP])
-            m, l = self._one_chunk(buf)       # (k*CHUNK, nmel), (k*CHUNK,)
+            raw = sig[g * CHUNK * HOP: ((g + k) * CHUNK + 2) * HOP]
+            packed = pack_zero_elide(raw) if codec else None
+            if packed is not None:
+                # digital-silence blocks elided: ships fewer link bytes,
+                # reconstructed bit-exactly on device (dsp/codec.py)
+                m, l = self._one_chunk_packed(jnp.asarray(packed),
+                                              len(raw) // BLOCK)
+            else:
+                m, l = self._one_chunk(jnp.asarray(raw))
             for j in range(k):
                 outs.append((m[j * CHUNK:(j + 1) * CHUNK],
                              l[j * CHUNK:(j + 1) * CHUNK]))
