@@ -91,7 +91,10 @@ def main():
         return dur
 
     run("warm")  # compile the bucket programs
-    best = min(run(f"r{k}") for k in range(3))
+    # best-of-5: the tunneled link's throughput fluctuates ~2x between
+    # runs (docs/performance.md); best-of captures the pipeline's actual
+    # capability rather than the link's worst stall
+    best = min(run(f"r{k}") for k in range(5))
 
     rtf = n_files * per_file / best
     print(json.dumps({
