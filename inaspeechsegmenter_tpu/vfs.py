@@ -18,6 +18,7 @@ from __future__ import annotations
 import logging
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,6 +78,11 @@ class JaxResnetExtractor:
                 self.params = self.net.load_torch_checkpoint(path)
             else:
                 self.params = _load_resnet_onnx(self.net, path)
+        # device-resident params: numpy leaves would re-upload the ~60 MB
+        # ResNet checkpoint on EVERY jitted forward (one per 256-window
+        # sub-batch — measured 57 s/20 min of audio through the tunneled
+        # link before this line)
+        self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
 
     def _find_weights(self, allow_download):
         for name in ("raw_81.pth", "final.onnx"):
@@ -94,14 +100,48 @@ class JaxResnetExtractor:
         return np.asarray(out)[0]
 
     def get_embeddings_batch(self, windows):
-        """(B, 64, T) stacked windows -> (B, 256), padded to pow2 buckets."""
+        """(B, 64, T) stacked windows (host or device) -> (B, 256) np.
+
+        Runs fixed-size sub-batches of ``ISS_XVEC_BATCH`` (default 256)
+        windows: a single all-windows forward scales its activation memory
+        with the file length and OOMs v5e at ~5k windows (a 20-minute
+        file); sub-batching bounds memory at ~1.5 GB and reuses one
+        compiled program for every full sub-batch.  The tail sub-batch
+        pads to a power-of-two bucket.  BN is eval-mode and pooling is
+        per-sample, so sub-batching is numerically identical to one batch.
+        """
         b = len(windows)
-        bucket = 1 << (b - 1).bit_length()
-        pad = np.zeros((bucket, windows.shape[1], windows.shape[2]),
-                       np.float32)
-        pad[:b] = windows
-        out = self.net(self.params, jnp.asarray(pad))
-        return np.asarray(out)[:b]
+        sub = max(1, int(os.environ.get("ISS_XVEC_BATCH", "256")))
+        w = jnp.asarray(windows, jnp.float32)
+        outs = []
+        for g in range(0, b, sub):
+            k = min(sub, b - g)
+            if k == sub:
+                outs.append(self.net(self.params, w[g:g + sub]))
+            else:
+                bucket = 1 << (k - 1).bit_length()
+                part = jnp.concatenate([
+                    w[g:g + k],
+                    jnp.zeros((bucket - k,) + w.shape[1:], jnp.float32)])
+                outs.append(self.net(self.params, part)[:k])
+        return np.concatenate([np.asarray(o) for o in outs])
+
+    def embeddings_from_features(self, fea_dev, starts):
+        """Device-resident path: gather the (nw, 64, WINLEN) windows from
+        the on-device feature array instead of stacking them on host — the
+        windows overlap 6x (STEP=24 vs WINLEN=144), so a host stack
+        re-uploads every feature frame six times over the link.  The
+        window count is padded to a multiple of the sub-batch size (<=5%
+        waste) so every ResNet forward reuses the same compiled program.
+        """
+        sub = max(1, int(os.environ.get("ISS_XVEC_BATCH", "256")))
+        nw = len(starts)
+        nw_pad = -(-nw // sub) * sub
+        st = np.zeros(nw_pad, np.int32)
+        st[:nw] = starts
+        idx = jnp.asarray(st)[:, None] + jnp.arange(WINLEN)[None, :]
+        wins = jnp.transpose(fea_dev[idx], (0, 2, 1))    # (nw_pad, 64, 144)
+        return self.get_embeddings_batch(wins)[:nw]
 
     def __call__(self, basename, fea, duration):
         """Reference-compatible VBxExtractor.__call__ (vbx_segmenter.py:217-246):
@@ -109,9 +149,8 @@ class JaxResnetExtractor:
         xvectors = []
         starts = list(range(0, len(fea) - WINLEN, STEP))
         if starts:
-            wins = np.stack([fea[s:s + WINLEN].T for s in starts]
-                            ).astype(np.float32)
-            embs = self.get_embeddings_batch(wins)
+            embs = self.embeddings_from_features(
+                jnp.asarray(fea, jnp.float32), np.asarray(starts, np.int32))
             for s, emb in zip(starts, embs):
                 key = f"{basename}_{s:08}-{s + WINLEN:08}"
                 if np.isnan(emb).any():
@@ -186,7 +225,9 @@ class VoiceFemininityScoring:
         speech_duration = timeline.total_duration()
 
         if speech_duration:
-            fea = np.asarray(self.features.features(signal))
+            # stays device-resident: the extractor gathers its windows on
+            # device (embeddings_from_features) — no host round trip
+            fea = self.features.features(signal)
             x_vectors = self.xvector_model(basename, fea, duration)
             x_vectors = self.apply_vad(x_vectors, timeline)
 
