@@ -15,14 +15,16 @@ Host does only the RNG-dependent dither and mirror pad; framing, FFT
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .codec import BLOCK, pack_zero_elide, unpack_zero_elide
 from .mel import kaldi_mel_fbank
-from .sidekit import _dft_matrices
+from .sidekit import _dft_matrices, _upload_codec_enabled
 
 WIN = 400
 HOP = 160
@@ -63,6 +65,8 @@ class VbxFrontend:
         dcos, dsin = _dft_matrices(WIN, NFFT)
         self.dcos = jnp.asarray(dcos)
         self.dsin = jnp.asarray(dsin)
+        self._dither_dev = None      # device-resident dither prefix cache
+        self._dither_len = 0
 
     @partial(jax.jit, static_argnames=("self",))
     def _fbank_cmvn_padded(self, seg_pad, n_frames):
@@ -98,8 +102,90 @@ class VbxFrontend:
                              jnp.cumsum(x, axis=0)])
         return x - (f[ws + win_len] - f[ws]) / win_len
 
+    # ---- int16 upload path -----------------------------------------------
+    def _dither_buffer(self, n):
+        """Device-resident dither prefix, grown on demand.
+
+        The reference dither stream is the MT19937(3) prefix sequence
+        (vbx_segmenter.py:84-85) — identical for every file up to its
+        length — so it is generated host-side once per growth step
+        (quantized to 2^20 samples to bound regenerations) and kept in
+        HBM; per-file uploads then ship int16 PCM instead of the dithered
+        float32 signal (half the link bytes, steady-state).
+        """
+        if n > self._dither_len:
+            grow = -(-n // (1 << 20)) * (1 << 20)
+            rng = np.random.RandomState(3)
+            d = (8.0 * (2.0 * rng.rand(grow) - 1.0)).astype(np.float32)
+            self._dither_dev = jnp.asarray(d)
+            self._dither_len = grow
+        return self._dither_dev
+
+    def _seg_from_i16(self, sig_i16, dither, n_sig):
+        """Traced: dither + mirror-pad the int16 signal on device,
+        reproducing preprocess_signal up to f32 rounding (the reference
+        adds the f64 dither before the final f32 cast; adding the
+        f32-rounded dither to the exact f32 integer signal differs by
+        <= 1 ulp of the sample value — bounded in tests/test_vbx_features.py).
+        """
+        s = sig_i16.shape[0]
+        x = sig_i16.astype(jnp.float32) + dither[:s]
+        x = jnp.where(jnp.arange(s) < n_sig, x, 0.0)
+        front = x[:120][::-1]
+        seg = jnp.concatenate([front, x])[:s]
+        tail = jax.lax.dynamic_slice(x, (n_sig - 200,), (200,))[::-1]
+        return jax.lax.dynamic_update_slice(seg, tail, (120 + n_sig,))
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _fbank_cmvn_i16(self, sig_i16, dither, n_sig, n_frames):
+        seg = self._seg_from_i16(sig_i16, dither, n_sig)
+        return self._fbank_cmvn_padded(seg, n_frames)
+
+    @partial(jax.jit, static_argnames=("self", "nb"))
+    def _fbank_cmvn_i16_packed(self, buf, dither, n_sig, n_frames, nb):
+        sig = unpack_zero_elide(buf, nb)
+        seg = self._seg_from_i16(sig, dither, n_sig)
+        return self._fbank_cmvn_padded(seg, n_frames)
+
+    def _features_i16(self, sig_i16, n):
+        """int16 device path: (n,) int16 exact samples -> (T, 64) fea."""
+        n_frames = (n - 80) // HOP + 1
+        t_bucket = -(-n_frames // 1024) * 1024
+        s = (t_bucket + 2) * HOP + 2 * BLOCK     # mirror-tail headroom
+        sig = np.zeros(s, np.int16)
+        sig[:n] = sig_i16
+        dither = self._dither_buffer(s)
+        packed = pack_zero_elide(sig) if _upload_codec_enabled() else None
+        piece = 2 << 20                          # 4 MB of int16 per transfer
+        if packed is not None:
+            buf = _upload_pieces(packed, piece)
+            fea = self._fbank_cmvn_i16_packed(buf, dither, jnp.int32(n),
+                                              jnp.int32(n_frames),
+                                              s // BLOCK)
+        else:
+            fea = self._fbank_cmvn_i16(_upload_pieces(sig, piece), dither,
+                                       jnp.int32(n), jnp.int32(n_frames))
+        return fea[:n_frames]
+
     def features(self, signal):
-        """Reference-compatible entry: float64 signal -> (T, 64) float32."""
+        """Reference-compatible entry: float64 signal -> (T, 64) float32.
+
+        ``ISS_VBX_UPLOAD``: ``f32`` ships the host-dithered float32 signal
+        (bit-exact vs the reference preprocessing); ``int16`` ships exact
+        int16 PCM and adds the cached device dither on chip (half the link
+        bytes + zero-block elision, <= 1 f32-ulp signal difference);
+        ``auto`` (default) picks int16 on accelerator backends when the
+        signal is losslessly int16-scaled, f32 on CPU.
+        """
+        mode = os.environ.get("ISS_VBX_UPLOAD", "auto")
+        use_i16 = mode == "int16" or (mode == "auto"
+                                      and jax.default_backend() != "cpu")
+        if use_i16:
+            sig_int = (np.asarray(signal) * 2 ** 15).astype(np.int64)
+            n = len(sig_int)
+            if (n >= 400 and sig_int.min() >= -32768
+                    and sig_int.max() <= 32767):
+                return self._features_i16(sig_int.astype(np.int16), n)
         seg = preprocess_signal(signal).astype(np.float32)
         n_frames = (len(seg) - WIN) // HOP + 1
         # bucket the padded length (1024-frame steps) to bound compiles
@@ -124,3 +210,12 @@ class VbxFrontend:
 
     def __eq__(self, other):
         return self is other
+
+
+def _upload_pieces(arr, piece):
+    """Upload a host array in ~4 MB pieces, concatenated on device — the
+    tunneled link's per-transfer sweet spot (docs/performance.md)."""
+    if len(arr) <= piece:
+        return jnp.asarray(arr)
+    parts = [jnp.asarray(arr[i:i + piece]) for i in range(0, len(arr), piece)]
+    return jnp.concatenate(parts)

@@ -55,3 +55,48 @@ def test_features_parity_lamartine(ref_features_vbx, media_dir):
     np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=5e-3)
     # frame count matches the HTK convention
     assert len(ours) == (len(sig) + 320 - 400) // 160 + 1
+
+
+def test_i16_upload_matches_f32(ref_features_vbx, media_dir, monkeypatch):
+    """int16 upload mode (device dither + mirror pad, dsp/vbx.py
+    _features_i16) vs the exact host-dithered f32 path: <= 1 f32-ulp signal
+    difference, tight feature agreement — and still within the reference
+    parity budget."""
+    from inaspeechsegmenter_tpu.audio import read_wav
+
+    sig, _ = read_wav(f"{media_dir}/lamartine.wav", dtype="float64")
+    fe = VbxFrontend()
+    monkeypatch.setenv("ISS_VBX_UPLOAD", "f32")
+    exact = np.asarray(fe.features(sig))
+    monkeypatch.setenv("ISS_VBX_UPLOAD", "int16")
+    ours = np.asarray(fe.features(sig))
+    assert ours.shape == exact.shape
+    np.testing.assert_allclose(ours, exact, rtol=1e-4, atol=1e-4)
+    ref = _ref_features(ref_features_vbx, sig)
+    np.testing.assert_allclose(ours, ref, rtol=5e-3, atol=5e-3)
+
+
+def test_i16_upload_with_codec(media_dir, monkeypatch):
+    """Zero-elision codec on the int16 VBx path: digital-silence signal
+    regions ship elided and reconstruct identically."""
+    rng = np.random.default_rng(11)
+    sig = rng.standard_normal(16000 * 40) * 0.05
+    sig[16000 * 5:16000 * 30] = 0.0       # digital silence -> elided blocks
+    sig = np.round(sig * 32768) / 32768   # losslessly int16-scaled
+    fe = VbxFrontend()
+    monkeypatch.setenv("ISS_VBX_UPLOAD", "int16")
+    monkeypatch.setenv("ISS_UPLOAD_CODEC", "0")
+    raw = np.asarray(fe.features(sig))
+    monkeypatch.setenv("ISS_UPLOAD_CODEC", "1")
+    packed = np.asarray(fe.features(sig))
+    np.testing.assert_array_equal(raw, packed)
+
+
+def test_i16_upload_rejects_out_of_range(monkeypatch):
+    """float sources beyond int16 range must fall back to the f32 path."""
+    sig = np.zeros(16000 * 2)
+    sig[100] = 1.5                        # > int16 full scale
+    fe = VbxFrontend()
+    monkeypatch.setenv("ISS_VBX_UPLOAD", "int16")
+    out = np.asarray(fe.features(sig))
+    assert out.shape[1] == 64 and len(out) == (len(sig) - 80) // 160 + 1

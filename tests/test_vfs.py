@@ -133,3 +133,20 @@ def test_vfs_batch_score(vfs, media_dir, tmp_path):
     # farm adapter delegates to batch_score
     _, _, _, lmsg3 = vfs.batch_process(ins, outs, skipifexist=True)
     assert [m[1] for m in lmsg3] == [1, 1, 2]
+
+
+def test_subbatch_equals_single_batch(vfs, monkeypatch):
+    """Sub-batched extraction (ISS_XVEC_BATCH) returns the same embeddings
+    as one whole-batch forward — the sub-batching exists because a single
+    all-windows forward OOMs on hour-scale files (vfs.py
+    get_embeddings_batch)."""
+    rng = np.random.default_rng(3)
+    fea = rng.standard_normal((1000, 64)).astype(np.float32)
+    monkeypatch.setenv("ISS_XVEC_BATCH", "8")
+    xv_sub = vfs.xvector_model("b", fea, 10.0)
+    monkeypatch.setenv("ISS_XVEC_BATCH", "4096")
+    xv_one = vfs.xvector_model("b", fea, 10.0)
+    assert len(xv_sub) == len(xv_one) == 36 + 1
+    for (ka, sa, xa), (kb, sb, xb) in zip(xv_sub, xv_one):
+        assert ka == kb and sa == sb
+        np.testing.assert_allclose(xa, xb, rtol=0, atol=1e-5)
