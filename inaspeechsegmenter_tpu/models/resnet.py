@@ -27,11 +27,25 @@ import numpy as np
 
 import os
 
-# HIGHEST matches the reference's f32 ONNX numerics; ISS_XVEC_PRECISION=fast
-# trades embedding precision (~1e-2) for ~2x conv throughput
-HP = (jax.lax.Precision.DEFAULT
-      if os.environ.get("ISS_XVEC_PRECISION") == "fast"
-      else jax.lax.Precision.HIGHEST)
+# x-vector conv/matmul precision ladder (ISS_XVEC_PRECISION), mirroring the
+# CNN ladder in models/layers.py.  Measured on v5e, (256, 64, 144) batch
+# through the full ResNet101: `highest` (exact f32) 166 ms, `high` (bf16
+# 3-pass) 131 ms at ~2e-3 relative embedding error, `fast` (single-pass
+# bf16) 99 ms at ~5e-2.  Unlike the patch CNN (where bf16 tripled MXU
+# throughput), this network is layout/bandwidth-bound at these channel
+# counts, so `high` buys only ~1.3x — not worth a lossy default: the
+# default is exact `highest` everywhere; `high`/`fast` are opt-in
+# throughput tiers.  Read at trace time: set the env var before the first
+# forward.
+_XPREC = {"highest": jax.lax.Precision.HIGHEST,
+          "high": jax.lax.Precision.HIGH,
+          "fast": jax.lax.Precision.DEFAULT,
+          "default": jax.lax.Precision.DEFAULT}
+
+
+def xvec_precision():
+    mode = os.environ.get("ISS_XVEC_PRECISION", "highest")
+    return _XPREC[mode.lower()]
 
 
 # ---------------------------------------------------------------------------
@@ -44,13 +58,13 @@ def _conv(x, w, stride=1):
         x, w, window_strides=(stride, stride),
         padding=[(w.shape[0] // 2, w.shape[0] // 2),
                  (w.shape[1] // 2, w.shape[1] // 2)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=HP)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=xvec_precision())
 
 
 def _conv1x1(x, w, stride=1):
     return jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=HP)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=xvec_precision())
 
 
 def _bn(x, p, eps=1e-5):
@@ -168,7 +182,7 @@ class ResNetXVector:
         mean = jnp.transpose(mean, (0, 2, 1)).reshape(h.shape[0], -1)
         std = jnp.transpose(std, (0, 2, 1)).reshape(h.shape[0], -1)
         pooled = jnp.concatenate([mean, std], axis=1)
-        return jnp.dot(pooled, params["embedding"]["w"], precision=HP) \
+        return jnp.dot(pooled, params["embedding"]["w"], precision=xvec_precision()) \
             + params["embedding"]["b"]
 
     def __call__(self, params, x):
