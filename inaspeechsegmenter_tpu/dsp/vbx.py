@@ -117,7 +117,7 @@ class VbxFrontend:
             grow = -(-n // (1 << 20)) * (1 << 20)
             rng = np.random.RandomState(3)
             d = (8.0 * (2.0 * rng.rand(grow) - 1.0)).astype(np.float32)
-            self._dither_dev = jnp.asarray(d)
+            self._dither_dev = _upload_pieces(d, 1 << 20)
             self._dither_len = grow
         return self._dither_dev
 
@@ -192,16 +192,7 @@ class VbxFrontend:
         t_bucket = -(-max(n_frames, 1) // 1024) * 1024
         need = (t_bucket + 2) * HOP
         seg = np.pad(seg, (0, max(0, need - len(seg))))[:need]
-        # upload in ~4 MB pieces: the tunneled link's per-transfer cost makes
-        # mid-size transfers ~2x faster than one monolithic buffer on long
-        # files (see docs/performance.md); concatenation runs on device
-        piece = 1 << 20                                # 1M floats = 4 MB
-        if len(seg) > piece:
-            parts = [jnp.asarray(seg[i:i + piece])
-                     for i in range(0, len(seg), piece)]
-            seg_dev = jnp.concatenate(parts)
-        else:
-            seg_dev = jnp.asarray(seg)
+        seg_dev = _upload_pieces(seg, 1 << 20)         # 1M floats = 4 MB
         fea = self._fbank_cmvn_padded(seg_dev, jnp.int32(n_frames))
         return fea[:n_frames]
 

@@ -40,12 +40,15 @@ import os
 _XPREC = {"highest": jax.lax.Precision.HIGHEST,
           "high": jax.lax.Precision.HIGH,
           "fast": jax.lax.Precision.DEFAULT,
+          "bf16": jax.lax.Precision.DEFAULT,
           "default": jax.lax.Precision.DEFAULT}
 
 
 def xvec_precision():
     mode = os.environ.get("ISS_XVEC_PRECISION", "highest")
-    return _XPREC[mode.lower()]
+    # unknown/empty values fall back to exact f32 rather than crashing a
+    # trace deep inside jit
+    return _XPREC.get(mode.lower(), jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------

@@ -111,6 +111,8 @@ class JaxResnetExtractor:
         per-sample, so sub-batching is numerically identical to one batch.
         """
         b = len(windows)
+        if b == 0:
+            return np.zeros((0, self.net.embed_dim), np.float32)
         sub = max(1, int(os.environ.get("ISS_XVEC_BATCH", "256")))
         w = jnp.asarray(windows, jnp.float32)
         outs = []
@@ -131,12 +133,16 @@ class JaxResnetExtractor:
         the on-device feature array instead of stacking them on host — the
         windows overlap 6x (STEP=24 vs WINLEN=144), so a host stack
         re-uploads every feature frame six times over the link.  The
-        window count is padded to a multiple of the sub-batch size (<=5%
-        waste) so every ResNet forward reuses the same compiled program.
+        window count is padded to whole sub-batches plus a power-of-two
+        tail so every ResNet forward comes from the bounded program set
+        {sub} + {pow2 < sub} and the padding waste stays < one tail
+        bucket.
         """
         sub = max(1, int(os.environ.get("ISS_XVEC_BATCH", "256")))
         nw = len(starts)
-        nw_pad = -(-nw // sub) * sub
+        full = (nw // sub) * sub
+        tail = nw - full
+        nw_pad = full + ((1 << (tail - 1).bit_length()) if tail else 0)
         st = np.zeros(nw_pad, np.int32)
         st[:nw] = starts
         idx = jnp.asarray(st)[:, None] + jnp.arange(WINLEN)[None, :]
