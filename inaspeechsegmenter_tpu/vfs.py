@@ -65,9 +65,25 @@ class JaxResnetExtractor:
     runs at its exact length like the reference (vbx_segmenter.py:234-243).
     """
 
-    def __init__(self, allow_download=True, params=None, net=None):
+    def __init__(self, allow_download=True, params=None, net=None,
+                 mesh=None):
         self.net = net or ResNet101XVector(feat_dim=FEAT_DIM,
                                            embed_dim=EMBED_DIM)
+        self.mesh = mesh
+        self._sharded_fwd = None
+        if mesh is not None:
+            # multi-chip x-vector extraction: windows are independent, so
+            # the sub-batch axis shards over the mesh data axis (params
+            # replicated) and every chip runs its slice of the ResNet —
+            # XLA inserts no collectives until the host gathers embeddings
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data = NamedSharding(mesh, P("data"))
+            rep = NamedSharding(mesh, P())
+            self._sharded_fwd = jax.jit(
+                self.net.forward,
+                in_shardings=(rep, data), out_shardings=data)
+            self._rep = rep
         if params is not None:
             self.params = params
         else:
@@ -114,18 +130,22 @@ class JaxResnetExtractor:
         if b == 0:
             return np.zeros((0, self.net.embed_dim), np.float32)
         sub = max(1, int(os.environ.get("ISS_XVEC_BATCH", "256")))
+        fwd = self._sharded_fwd if self._sharded_fwd is not None else self.net
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        sub = -(-sub // n_dev) * n_dev          # shardable sub-batches
         w = jnp.asarray(windows, jnp.float32)
         outs = []
         for g in range(0, b, sub):
             k = min(sub, b - g)
             if k == sub:
-                outs.append(self.net(self.params, w[g:g + sub]))
+                outs.append(fwd(self.params, w[g:g + sub]))
             else:
                 bucket = 1 << (k - 1).bit_length()
+                bucket = -(-bucket // n_dev) * n_dev    # mesh-divisible
                 part = jnp.concatenate([
                     w[g:g + k],
                     jnp.zeros((bucket - k,) + w.shape[1:], jnp.float32)])
-                outs.append(self.net(self.params, part)[:k])
+                outs.append(fwd(self.params, part)[:k])
         return np.concatenate([np.asarray(o) for o in outs])
 
     def embeddings_from_features(self, fea_dev, starts):
@@ -184,12 +204,15 @@ class VoiceFemininityScoring:
 
     def __init__(self, gd_model_criteria="bgc", backend="jax",
                  allow_download=True, xvector_params=None, xvector_net=None,
-                 ffmpeg="ffmpeg"):
+                 ffmpeg="ffmpeg", mesh=None):
+        """`mesh`: optional 1-D `jax.sharding.Mesh` ('data' axis) — x-vector
+        window batches shard across its devices (framework extension; the
+        reference farms whole files to single-GPU workers instead)."""
         assert backend in ["jax", "onnx", "pytorch"], \
             "backend is accepted for API parity; execution is always JAX"
         self.xvector_model = JaxResnetExtractor(allow_download,
                                                 params=xvector_params,
-                                                net=xvector_net)
+                                                net=xvector_net, mesh=mesh)
         assert gd_model_criteria in ["bgc", "vfp"], \
             "Gender detection model criteria must be 'bgc' or 'vfp'"
         if gd_model_criteria == "bgc":

@@ -150,3 +150,28 @@ def test_subbatch_equals_single_batch(vfs, monkeypatch):
     for (ka, sa, xa), (kb, sb, xb) in zip(xv_sub, xv_one):
         assert ka == kb and sa == sb
         np.testing.assert_allclose(xa, xb, rtol=0, atol=1e-5)
+
+
+def test_sharded_extractor_matches_single(vfs, monkeypatch):
+    """x-vector extraction sharded over an 8-device mesh (windows on the
+    data axis) returns the same embeddings as the single-device path."""
+    import jax
+    from inaspeechsegmenter_tpu.parallel.mesh import make_mesh
+    from inaspeechsegmenter_tpu.vfs import JaxResnetExtractor
+
+    rng = np.random.default_rng(5)
+    fea = rng.standard_normal((700, 64)).astype(np.float32)
+    monkeypatch.setenv("ISS_XVEC_BATCH", "16")
+    sharded = JaxResnetExtractor(
+        params=vfs.xvector_model.params, net=vfs.xvector_model.net,
+        mesh=make_mesh(8))
+    assert len(jax.devices()) == 8
+    xv_m = sharded("b", fea, 7.0)
+    xv_1 = vfs.xvector_model("b", fea, 7.0)
+    assert len(xv_m) == len(xv_1) > 20
+    for (ka, sa, xa), (kb, sb, xb) in zip(xv_m, xv_1):
+        assert ka == kb and sa == sb
+        # the SPMD-partitioned program schedules conv reductions
+        # differently than the single-device one — small float drift on a
+        # random-weight net with |emb| ~ 40 is expected
+        np.testing.assert_allclose(xa, xb, rtol=1e-4, atol=1e-3)
