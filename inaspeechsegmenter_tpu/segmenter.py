@@ -232,11 +232,39 @@ class Segmenter:
                                                         stop_sec)
             return self._fused_segment(mspec, loge, t, difflen, s0)
 
-        import jax.numpy as jnp
-
         with self.timers.time("decode"):
             sig = media2sig16kmono(medianame, start_sec, stop_sec,
                                    self.ffmpeg, "auto")
+        return self.segment_signal(sig, s0, medianame)
+
+    def segment_signal(self, sig, start_sec=0, medianame="<signal>"):
+        """Segment an already-decoded 16 kHz mono signal (int16 or float)
+        -> [(label, start_s, stop_s)].
+
+        Framework extension: callers that already hold the PCM (e.g.
+        `VoiceFemininityScoring`, which needs the same signal for its VBx
+        features) skip a second decode of the same file; identical output
+        to `__call__` on the file (the decode is deterministic).
+        """
+        s0 = start_sec
+        if not (os.environ.get("ISS_STREAMING", "1") != "0"
+                and hasattr(self.frontend, "mspec_loge_chunks")):
+            with self.timers.time("features"):
+                t = frame_count(len(sig))
+                bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK
+                mspec, loge, t = self.frontend.mspec_loge(
+                    sig, pad_frames_to=bucket)
+            difflen = 0
+            if t < 68:
+                difflen = 68 - t
+                warnings.warn(
+                    "media %s duration is short. Robust results require "
+                    "length of at least 720 milliseconds" % medianame)
+                mspec = _pad_short_mspec(mspec, t)
+            return self._fused_segment(mspec, loge, t, difflen, s0)
+
+        import jax.numpy as jnp
+
         with self.timers.time("features"):
             t = frame_count(len(sig))
             bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK

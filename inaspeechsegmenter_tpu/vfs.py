@@ -246,10 +246,21 @@ class VoiceFemininityScoring:
         """-> (score | None, speech_duration_s, n_retained_xvectors)."""
         basename = os.path.splitext(os.path.basename(fpath))[0]
 
-        signal = media2sig16kmono(fpath, ffmpeg=self.ffmpeg, dtype="float64")
+        # single decode: 'auto' yields exact int16 for losslessly-PCM16
+        # sources (the reference decodes the file twice — float64 here and
+        # float32 inside its VAD, vbx_segmenter.py:160-164 — with
+        # identical sample values); non-PCM16 sources keep the two-decode
+        # reference behavior since float32 'auto' would round the float64
+        # feature input
+        sig = media2sig16kmono(fpath, ffmpeg=self.ffmpeg, dtype="auto")
+        if sig.dtype == np.int16:
+            signal = sig.astype(np.float64) / 32768.0
+            vad_seg = self.vad.segment_signal(sig, 0, fpath)
+        else:
+            signal = media2sig16kmono(fpath, ffmpeg=self.ffmpeg,
+                                      dtype="float64")
+            vad_seg = self.vad(fpath)
         duration = len(signal) / SR
-
-        vad_seg = self.vad(fpath)
         timeline = SpeechTimeline.from_vad(vad_seg)
         speech_duration = timeline.total_duration()
 
