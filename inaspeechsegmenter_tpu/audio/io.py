@@ -125,11 +125,14 @@ def _fix_streamed_riff(blob: bytes) -> bytes:
     if len(blob) < 44:
         return blob
     ba = bytearray(blob)
-    ba[4:8] = (len(blob) - 8).to_bytes(4, "little")
+    # clamp to the 4-byte RIFF field for >= 4 GiB streams (~37 h at 16 kHz
+    # mono s16le); 0xFFFFFFFE keeps the s16 sample alignment and read_wav
+    # truncates payloads to whole frames
+    ba[4:8] = min(len(blob) - 8, 0xFFFFFFFE).to_bytes(4, "little")
     # find the data chunk header and fix its size field
     idx = blob.find(b"data", 12)
     if idx >= 0:
-        size = len(blob) - idx - 8
+        size = min(len(blob) - idx - 8, 0xFFFFFFFE)
         ba[idx + 4: idx + 8] = size.to_bytes(4, "little")
     return bytes(ba)
 

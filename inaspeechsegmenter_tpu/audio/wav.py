@@ -94,6 +94,11 @@ def _read_wav_stream(f, dtype, always_2d):
     offset, size = data_span
     f.seek(offset)
     payload = f.read(size)
+    # a stream shorter than the declared chunk (EOF truncation) must still
+    # decode whole frames — np.frombuffer requires itemsize alignment
+    frame = block_align or max(1, (bits // 8) * max(1, channels))
+    if frame and len(payload) % frame:
+        payload = payload[: len(payload) - len(payload) % frame]
 
     if audio_format == _WAVE_FORMAT_IEEE_FLOAT:
         if bits == 32:

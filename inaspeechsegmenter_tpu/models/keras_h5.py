@@ -140,14 +140,26 @@ def _load_weight_arrays(h5file):
                     node = node[part]
             arrays.append(np.array(node))
         if not wnames:
-            # fall back to recursive dataset collection
+            # fall back to recursive dataset collection; h5py iterates
+            # groups alphabetically ('bias:0' before 'kernel:0') while every
+            # LAYER_FN expects params[0] = kernel — order kernel/gamma first
+            named = []
+
             def collect(node, acc):
                 if isinstance(node, h5py.Dataset):
-                    acc.append(np.array(node))
+                    acc.append((node.name, np.array(node)))
                 else:
                     for k in node:
                         collect(node[k], acc)
-            collect(lg, arrays)
+            collect(lg, named)
+            rank = {"kernel": 0, "gamma": 0, "depthwise_kernel": 0,
+                    "bias": 1, "beta": 1, "moving_mean": 2,
+                    "moving_variance": 3}
+
+            def key(item):
+                leaf = item[0].rsplit("/", 1)[-1].split(":")[0]
+                return (rank.get(leaf, 9), item[0])
+            arrays.extend(a for _, a in sorted(named, key=key))
         if arrays:
             out[lname] = arrays
     return out

@@ -73,8 +73,11 @@ class ParallelEngine:
             for j0 in range(0, len(idxs), self.n_dev):
                 chunk = idxs[j0:j0 + self.n_dev]
                 pad_to = self.n_dev
-                ms = [np.asarray(feats_list[i][0]) for i in chunk]
-                lg = [np.asarray(feats_list[i][1]) for i in chunk]
+                # features are usually already device-resident (jnp
+                # frontend): stack on device — np.asarray here would
+                # round-trip every file's features over the link
+                ms = [feats_list[i][0] for i in chunk]
+                lg = [feats_list[i][1] for i in chunk]
                 nf, nfp, n20 = [], [], []
                 for i in chunk:
                     _, _, t, difflen = feats_list[i]
@@ -92,7 +95,8 @@ class ParallelEngine:
                     self.seg.vad.model.params,
                     self.seg.gender.model.params if self.seg.detect_gender
                     else None,
-                    jnp.asarray(np.stack(ms)), jnp.asarray(np.stack(lg)),
+                    jnp.stack([jnp.asarray(m) for m in ms]),
+                    jnp.stack([jnp.asarray(l) for l in lg]),
                     jnp.asarray(nf, jnp.int32), jnp.asarray(nfp, jnp.int32),
                     jnp.asarray(n20, jnp.int32))
                 ids = np.asarray(ids)
@@ -106,21 +110,23 @@ class ParallelEngine:
         tuple returns; host feature staging overlaps device execution."""
         fexport = {"csv": seg2csv, "textgrid": seg2textgrid}[output_format]
         t0 = time.time()
-        lmsg = []
+        # status tuples keep INPUT order (reference contract: callers zip
+        # loutput with lmsg positionally), so skips reserve their slot
+        lmsg = [None] * len(linput)
         todo = []
-        for src, dst in zip(linput, loutput):
+        for pos, (src, dst) in enumerate(zip(linput, loutput)):
             if skipifexist and os.path.exists(dst):
-                lmsg.append((dst, 1, "already exists"))
+                lmsg[pos] = (dst, 1, "already exists")
                 continue
             dname = os.path.dirname(dst)
             if dname and not os.path.isdir(dname):
                 os.makedirs(dname, exist_ok=True)
-            todo.append((src, dst))
+            todo.append((pos, src, dst))
 
         def stage(item):
             # per-file retry with randomized backoff, identical semantics to
             # Segmenter.batch_process (flaky remote/NFS media on farm nodes)
-            src, dst = item
+            _, src, dst = item
             err = None
             for itry in range(nbtry):
                 try:
@@ -136,6 +142,7 @@ class ParallelEngine:
         # a worker thread while the current group runs on the mesh
         group = self.n_dev
         batches = [todo[i:i + group] for i in range(0, len(todo), group)]
+        done = 0
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(lambda b: [stage(x) for x in b],
                               batches[0]) if batches else None
@@ -149,17 +156,20 @@ class ParallelEngine:
                 results = self.segment_many([f for _, f in ok]) if ok else []
                 res_by_idx = {i: r for (i, _), r in zip(ok, results)}
                 for i, (feats, msg) in enumerate(staged):
-                    lmsg.append(msg)
-                    if feats is None:
-                        continue
-                    b = time.time()
-                    lseg = [(self.seg.labels[lab], start * .02, stop * .02)
-                            for lab, start, stop in rle(res_by_idx[i])]
-                    fexport(lseg, batch[i][1])
-                    lmsg[-1] = (msg[0], msg[1], "ok " + str(time.time() - b))
+                    pos = batch[i][0]
+                    lmsg[pos] = msg
+                    done += 1
+                    if feats is not None:
+                        b = time.time()
+                        lseg = [(self.seg.labels[lab], start * .02,
+                                 stop * .02)
+                                for lab, start, stop in rle(res_by_idx[i])]
+                        fexport(lseg, batch[i][2])
+                        lmsg[pos] = (msg[0], msg[1],
+                                     "ok " + str(time.time() - b))
                     if verbose:
-                        print("%d/%d" % (len(lmsg), len(linput)), [lmsg[-1]])
+                        print("%d/%d" % (done, len(todo)), [lmsg[pos]])
 
         dur = time.time() - t0
-        n_ok = len([e for e in lmsg if e[1] == 0])
+        n_ok = len([e for e in lmsg if e is not None and e[1] == 0])
         return dur, n_ok, dur / n_ok if n_ok else -1, lmsg

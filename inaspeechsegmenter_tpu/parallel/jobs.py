@@ -48,8 +48,10 @@ class JobServer:
             self.lsource = list(df.source_path)
             self.ldest = list(df.dest_path)
             self.i = 0
-        print("[jobserver] queued %d unique jobs from %s (sample: %s -> %s)"
-              % (len(df), csvjobs, df.source_path[0], df.dest_path[0]))
+        sample = ("(sample: %s -> %s)" % (df.source_path[0], df.dest_path[0])
+                  if len(df) else "(empty)")
+        print("[jobserver] queued %d unique jobs from %s %s"
+              % (len(df), csvjobs, sample))
         return "%d jobs from %s queued" % (len(df), csvjobs)
 
     def get_job(self, msg):
@@ -86,6 +88,14 @@ class JobServer:
                 for line in self.rfile:
                     try:
                         req = json.loads(line)
+                        # explicit RPC surface only: everything else on the
+                        # server object (serve, __init__, _lock, ...) must
+                        # not be reachable from the network
+                        if req["method"] not in ("get_job", "get_njobs",
+                                                 "set_jobs",
+                                                 "has_more_jobs"):
+                            raise ValueError(
+                                f"unknown method {req['method']!r}")
                         method = getattr(jobserver, req["method"])
                         result = method(*req.get("args", []),
                                         **req.get("kwargs", {}))

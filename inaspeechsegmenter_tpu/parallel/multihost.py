@@ -24,11 +24,16 @@ def init_multihost(coordinator_address=None, num_processes=None,
         "JAX_COORDINATOR_ADDRESS")
     if coordinator_address is None:
         return False
+    # `is None` (not falsy-or): an explicit process_id=0 — the coordinator —
+    # must never be overridden by a stale JAX_PROCESS_ID in the environment
+    if num_processes is None:
+        num_processes = os.environ.get("JAX_NUM_PROCESSES", 1)
+    if process_id is None:
+        process_id = os.environ.get("JAX_PROCESS_ID", 0)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=int(num_processes
-                          or os.environ.get("JAX_NUM_PROCESSES", 1)),
-        process_id=int(process_id or os.environ.get("JAX_PROCESS_ID", 0)))
+        num_processes=int(num_processes),
+        process_id=int(process_id))
     return True
 
 

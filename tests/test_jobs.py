@@ -73,3 +73,34 @@ def test_stop_after_dispatch(jobs_csv):
     client.get_njobs("drain", nbjobs=50)
     tcp._thread.join(timeout=5)
     assert not tcp._thread.is_alive()
+
+
+def test_empty_jobs_csv(tmp_path):
+    p = tmp_path / "empty.csv"
+    p.write_text("source_path,dest_path\n")
+    srv = JobServer(str(p))
+    assert not srv.has_more_jobs()
+    assert srv.get_njobs("x") == ([], [])
+
+
+def test_tcp_rejects_unknown_method(jobs_csv):
+    import json
+    import socket
+
+    srv = JobServer(jobs_csv)
+    tcp, uri = srv.serve(host="127.0.0.1", port=0)
+    try:
+        host, port = uri.split("//")[1].split(":")
+        with socket.create_connection((host, int(port))) as s:
+            f = s.makefile("rw")
+            # only the 4 lease methods are RPC surface; everything else on
+            # the object (serve, __init__, _lock...) must be unreachable
+            f.write(json.dumps({"method": "serve"}) + "\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert "error" in resp and "unknown method" in resp["error"]
+            f.write(json.dumps({"method": "has_more_jobs"}) + "\n")
+            f.flush()
+            assert json.loads(f.readline()) == {"result": True}
+    finally:
+        tcp.shutdown()

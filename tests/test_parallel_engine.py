@@ -53,3 +53,21 @@ def test_engine_batch_process(seg, media_dir, tmp_path):
     seg.batch_process([inputs[1]], [str(tmp_path / "m_single.csv")])
     assert (tmp_path / "m.csv").read_text() == \
         (tmp_path / "m_single.csv").read_text()
+
+
+def test_engine_status_order_with_skips(seg, media_dir, tmp_path):
+    """Status tuples keep input order even when skipifexist skips some
+    entries in the middle (reference contract: positional zip)."""
+    from inaspeechsegmenter_tpu.parallel import ParallelEngine
+
+    engine = ParallelEngine(seg)
+    inputs = [f"{media_dir}/silence2sec.wav", f"{media_dir}/silence2sec.wav",
+              "/nope.wav", f"{media_dir}/silence2sec.wav"]
+    outputs = [str(tmp_path / f"o{i}.csv") for i in range(4)]
+    (tmp_path / "o1.csv").write_text("preexisting\n")
+    _, n_ok, _, msgs = engine.batch_process(inputs, outputs,
+                                            skipifexist=True)
+    assert n_ok == 2
+    assert [m[1] for m in msgs] == [0, 1, 2, 0]
+    assert [m[0] for m in msgs] == outputs
+    assert (tmp_path / "o1.csv").read_text() == "preexisting\n"
