@@ -29,8 +29,12 @@ def n_output_frames(n_frames: int):
 
 
 def patch_rows(j, n_frames):
-    """Map output-frame index j -> starting mel row of its patch (clipped)."""
-    n_rows = (n_frames - PATCH_W) // PATCH_STEP + 1
+    """Map output-frame index j -> starting mel row of its patch (clipped).
+
+    n_frames < 68 clamps to one row-0 patch (callers are expected to pad
+    short media to 68 frames first — reference segmenter.py:60-66 — but a
+    negative clip bound would silently wrap indices into garbage)."""
+    n_rows = jnp.maximum((n_frames - PATCH_W) // PATCH_STEP + 1, 1)
     r = jnp.clip(j - LPAD, 0, n_rows - 1)
     return r * PATCH_STEP
 

@@ -108,7 +108,11 @@ def get_remote(model_fname, allow_download=True, allow_synthetic=False):
         url = DMODELS[model_fname] + model_fname
         dest = os.path.join(cache_dir(), model_fname)
         try:
-            urllib.request.urlretrieve(url, dest)  # noqa: S310
+            # download to a temp name: an interrupted transfer must not
+            # leave a truncated file at the path every later run resolves
+            tmp = dest + ".part"
+            urllib.request.urlretrieve(url, tmp)  # noqa: S310
+            os.replace(tmp, dest)
             return dest
         except Exception as exc:
             raise ModelNotFoundError(

@@ -64,12 +64,24 @@ class DnnSegmenter:
         n20 = (t + 1) // 2 - (int(difflen / 2) if difflen > 0 else 0)
         # pad rows to an even chunkable length for the gather
         tpad = max(t, 68)
-        mspec_pad = np.pad(mspec, ((0, tpad - t), (0, 0)))
-        j = jnp.arange(n20)
-        patches, finite = gather_normalized_patches(
-            jnp.asarray(mspec_pad), j, t, self.nmel)
-        probs = self.model.forward(self.model.params, patches[..., None])
-        probs = jnp.where(finite[:, None], probs, 0.5)
+        mspec_pad = jnp.asarray(np.pad(mspec, ((0, tpad - t), (0, 0))))
+        # gather + CNN in bounded chunks like the reference's
+        # keras.predict(batch_size) (segmenter.py:162-163): one all-patch
+        # tensor would grow device memory with file length (hour-scale
+        # media ~180k patches).  Chunks are padded to one static shape so
+        # a single compiled program serves the whole file.
+        chunk = max(int(self.batch_size), 256)
+        if n20 <= 0:
+            return [seg for seg in lseg]
+        probs_l = []
+        for j0 in range(0, n20, chunk):
+            j = j0 + jnp.arange(chunk)
+            patches, finite = gather_normalized_patches(
+                mspec_pad, jnp.minimum(j, n20 - 1), t, self.nmel)
+            p = self.model.forward(self.model.params, patches[..., None])
+            p = jnp.where(finite[:, None], p, 0.5)
+            probs_l.append(p[:min(chunk, n20 - j0)])
+        probs = jnp.concatenate(probs_l) if len(probs_l) > 1 else probs_l[0]
         inmask = np.zeros(n20, bool)
         for lab, start, stop in lseg:
             if lab == self.inlabel:

@@ -88,9 +88,15 @@ class Trainer:
         return float(loss)
 
     def fit(self, x, y, epochs=1, batch_size=None, shuffle_seed=0):
-        """Minimal epoch loop over host arrays."""
+        """Minimal epoch loop over host arrays.
+
+        The tail partial batch of each epoch is dropped (static-shape
+        steps); a batch_size larger than the dataset is clamped to the
+        dataset so small datasets still train instead of silently running
+        zero steps.
+        """
         n = len(x)
-        batch_size = batch_size or n
+        batch_size = min(batch_size or n, n)
         rng = np.random.default_rng(shuffle_seed)
         losses = []
         for _ in range(epochs):

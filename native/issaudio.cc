@@ -190,7 +190,10 @@ int64_t iss_resample(const float* in, int64_t n, int32_t sr_in,
       // tap index in the prototype filter
       int64_t k = (int64_t)t * L + p;
       double x = (double)(k - half);
-      double sinc = x == 0.0 ? 2.0 * cutoff * L
+      // x -> 0 limit of sin(2*pi*cutoff*x)/(pi*x) is 2*cutoff (the *L gain
+      // is applied uniformly below; an extra *L here turned phase 0 into a
+      // near-delta passthrough with no anti-aliasing)
+      double sinc = x == 0.0 ? 2.0 * cutoff
                              : sin(2.0 * M_PI * cutoff * L * (x / L)) / (M_PI * x / L) / L;
       double r = x / (double)half;
       double w = (r <= -1.0 || r >= 1.0) ? 0.0

@@ -76,3 +76,20 @@ def test_io_path_resamples_non16k(tmp_path, rng):
     write_wav(p, sig, 32000, subtype="FLOAT")
     out = media2sig16kmono(p, ffmpeg=None, dtype="float32")
     assert abs(len(out) - 16000) <= 1
+
+
+def test_resample_antialiasing():
+    """Above-Nyquist input must not leak through (the sinc center tap was
+    once a factor L too large, making polyphase phase 0 a passthrough)."""
+    native = pytest.importorskip("inaspeechsegmenter_tpu.audio.native")
+    if not native.available():
+        pytest.skip("native lib not built")
+    sr_in, sr_out = 44100, 16000
+    t = np.arange(sr_in) / sr_in
+    alias = native.resample(
+        np.sin(2 * np.pi * 9777 * t).astype(np.float32), sr_in, sr_out)
+    assert np.abs(alias[100:-100]).max() < 0.15
+    keep = native.resample(
+        np.sin(2 * np.pi * 1000 * t).astype(np.float32), sr_in, sr_out)
+    rms = np.sqrt(np.mean(keep[100:-100] ** 2))
+    assert abs(rms - 1 / np.sqrt(2)) < 0.01
