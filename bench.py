@@ -52,14 +52,13 @@ def synth_audio(seconds, sr=16000, seed=0):
 def main():
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    # synthetic stand-ins live OUTSIDE the registry search path and are only
-    # used because ISS_TPU_MODEL_DIR opts into them — they never shadow real
-    # released weights in ~/.keras or the shared cache dir
-    d = os.path.expanduser("~/.cache/inaspeechsegmenter_tpu/synthetic")
-    from inaspeechsegmenter_tpu.models.synthetic import install_synthetic_models
+    # deterministic full-size synthetic stand-ins: the bench must measure
+    # the same weights on every host.  ISS_TPU_MODEL_DIR is pointed at the
+    # synthetic dir (which IS what resolves them — pre-set the var to bench
+    # real weights instead)
+    from inaspeechsegmenter_tpu.models.synthetic import ensure_synthetic_env
 
-    install_synthetic_models(d, size="full")
-    os.environ.setdefault("ISS_TPU_MODEL_DIR", d)
+    ensure_synthetic_env(size="full")
 
     import tempfile
 

@@ -77,6 +77,13 @@ class PallasSidekitFrontend:
     def __init__(self, lowfreq=100, maxfreq=8000, nlinfilt=0, nlogfilt=24,
                  fs=16000, prefac=0.97, interpret=False):
         self.nmel = nlinfilt + nlogfilt
+        if self.nmel > 24:
+            # the packed (T, 32) kernel output reserves lane 24 for the
+            # log-energy; wider banks would silently collide with it —
+            # use SidekitFrontend (arbitrary nmel) instead
+            raise ValueError(
+                f"PallasSidekitFrontend supports at most 24 mel bands "
+                f"(got {self.nmel}); use SidekitFrontend for wider banks")
         self.interpret = interpret
 
         fbank, _ = htk_triangular_fbank(fs, NFFT, lowfreq, maxfreq,

@@ -131,10 +131,30 @@ def _parse_tensor(mv):
         # protobuf varints are two's-complement encoded in 64 bits
         arr = np.array(int64_data, np.uint64).view(np.int64)
     elif int32_data:
-        arr = np.array(int32_data, np.uint64).astype(np.uint32).view(np.int32)
+        # int32_data is the spec-mandated container for INT32 but ALSO for
+        # FLOAT16/INT8/INT16/UINT8/UINT16/BOOL when raw_data is absent —
+        # reinterpret the low bits per the declared dtype instead of
+        # returning raw bit patterns
+        u32 = np.array(int32_data, np.uint64).astype(np.uint32)
+        if dtype_code == 10:                      # FLOAT16: low 16 bits
+            arr = u32.astype(np.uint16).view(np.float16)
+        elif dtype_code == 5:                     # INT16: two's complement
+            arr = u32.astype(np.uint16).view(np.int16)
+        elif dtype_code in (2, 3, 4, 9):          # UINT8/INT8/UINT16/BOOL
+            arr = u32.astype(np.uint8 if dtype_code in (2, 9)
+                             else dt).astype(dt) \
+                if dtype_code != 3 else u32.astype(np.uint8).view(np.int8)
+        else:
+            arr = u32.view(np.int32)
     else:
         arr = np.zeros(0, dt)
     return name, arr.reshape(dims) if dims else arr
+
+
+def _signed64(v):
+    """Fold an unsigned varint to the signed int64 it encodes (protobuf
+    int64 is two's-complement in 64 bits — e.g. axis=-1 arrives as 2^64-1)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def _parse_attribute(mv):
@@ -145,11 +165,12 @@ def _parse_attribute(mv):
         if fno == 1:
             name = bytes(val).decode()
         elif fno == 3:                    # i
-            value = val
+            value = _signed64(val)
         elif fno == 5:                    # t (tensor)
             value = _parse_tensor(val)[1]
         elif fno == 8:                    # ints
-            value = _packed_varints(val) if wt == _LEN else [val]
+            value = [_signed64(v) for v in
+                     (_packed_varints(val) if wt == _LEN else [val])]
     return name, value
 
 

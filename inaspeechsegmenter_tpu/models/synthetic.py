@@ -112,17 +112,34 @@ def build_gender_mlp(in_dim=256, hidden=128, seed=0):
     return spec, params
 
 
+# bump when the synthetic weight generation changes so cached stand-ins
+# regenerate instead of silently serving stale architectures/weights
+SYNTH_GENERATION = 2
+
+
 def install_synthetic_models(directory, seed=0, size="full"):
     """Write the full synthetic model set (native .npz) into `directory`.
 
     Produces stand-ins for every CNN/MLP registry entry so the whole
     framework runs offline: keras_speech_music_cnn, keras_speech_music_noise_cnn,
     keras_male_female_cnn, interspeech2023_all, interspeech2023_cvfr.
+
+    A manifest records (seed, size, generation); any mismatch regenerates
+    the whole set — a cache that once held `size="small"` stand-ins must
+    not silently serve them to a full-size benchmark.
     """
+    import json
     import os
     from .keras_h5 import save_native
 
     os.makedirs(directory, exist_ok=True)
+    manifest_path = os.path.join(directory, "manifest.json")
+    want = {"seed": seed, "size": size, "generation": SYNTH_GENERATION}
+    try:
+        with open(manifest_path) as fh:
+            fresh = json.load(fh) == want
+    except (OSError, ValueError):
+        fresh = False
     todo = {
         "keras_speech_music_cnn": lambda: build_patch_cnn(21, 2, seed, size),
         "keras_speech_music_noise_cnn": lambda: build_patch_cnn(21, 3, seed + 1, size),
@@ -132,7 +149,24 @@ def install_synthetic_models(directory, seed=0, size="full"):
     }
     for stem, fn in todo.items():
         path = os.path.join(directory, stem + ".npz")
-        if not os.path.exists(path):
+        if not fresh or not os.path.exists(path):
             spec, params = fn()
             save_native(path, spec, params)
+    with open(manifest_path, "w") as fh:
+        json.dump(want, fh)
     return directory
+
+
+def ensure_synthetic_env(size="full"):
+    """Shared bootstrap for benches/tools/driver entries: install the
+    synthetic stand-ins into the canonical opt-in directory (OUTSIDE the
+    registry search path — only reachable because ISS_TPU_MODEL_DIR is
+    pointed at it here, so a user who wants real weights just sets
+    ISS_TPU_MODEL_DIR elsewhere or pre-sets it before launch) and return
+    the directory."""
+    import os
+
+    d = os.path.expanduser("~/.cache/inaspeechsegmenter_tpu/synthetic")
+    install_synthetic_models(d, size=size)
+    os.environ.setdefault("ISS_TPU_MODEL_DIR", d)
+    return d

@@ -56,6 +56,10 @@ def main():
             mspec, loge, t = seg.frontend.mspec_loge(
                 sig, pad_frames_to=b * CHUNK)
             seg._fused_segment(mspec, loge, t, 0, 0)
+            # the default single-file path is STREAMING (per-chunk CNN
+            # programs + tail) — warm those programs too, or the first
+            # serving request still compiles for minutes
+            seg.segment_signal(sig)
             print(f"{engine_spec} bucket {b}: {time.time() - t0:.1f}s")
 
 

@@ -26,11 +26,9 @@ def main():
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 600
-    d = os.path.expanduser("~/.cache/inaspeechsegmenter_tpu/synthetic")
-    from inaspeechsegmenter_tpu.models.synthetic import install_synthetic_models
+    from inaspeechsegmenter_tpu.models.synthetic import ensure_synthetic_env
 
-    install_synthetic_models(d, size="full")
-    os.environ.setdefault("ISS_TPU_MODEL_DIR", d)
+    ensure_synthetic_env(size="full")
 
     import jax
     import jax.numpy as jnp
