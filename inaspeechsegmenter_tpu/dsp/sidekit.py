@@ -134,22 +134,32 @@ class SidekitFrontend:
         mspec, loge = jax.lax.map(one, jnp.arange(n_chunks))
         return mspec.reshape(-1, self.nmel), loge.reshape(-1)
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _one_chunk(self, s):
+    @partial(jax.jit, static_argnames=("self", "keep_pcm"))
+    def _one_chunk(self, s, keep_pcm=False):
+        pcm = s
         if s.dtype == jnp.int16:
             s = s.astype(jnp.float32) * np.float32(1 / 32768.0)
-        return self._chunk_feats(s)
+        m, l = self._chunk_feats(s)
+        return (m, l, pcm) if keep_pcm else (m, l)
 
-    @partial(jax.jit, static_argnames=("self", "nb"))
-    def _one_chunk_packed(self, buf, nb):
+    @partial(jax.jit, static_argnames=("self", "nb", "keep_pcm"))
+    def _one_chunk_packed(self, buf, nb, keep_pcm=False):
         from .codec import unpack_zero_elide
-        s = unpack_zero_elide(buf, nb)
-        s = s.astype(jnp.float32) * np.float32(1 / 32768.0)
-        return self._chunk_feats(s)
+        pcm = unpack_zero_elide(buf, nb)
+        s = pcm.astype(jnp.float32) * np.float32(1 / 32768.0)
+        m, l = self._chunk_feats(s)
+        return (m, l, pcm) if keep_pcm else (m, l)
 
     # ---- public API ------------------------------------------------------
-    def mspec_loge_chunks(self, sig, pad_frames_to: int | None = None):
-        """Per-chunk device features: ([(mspec_c, loge_c)], n_frames).
+    def mspec_loge_chunks(self, sig, pad_frames_to: int | None = None,
+                          keep_pcm: bool = False):
+        """Per-chunk device features: ([(mspec_c, loge_c)], n_frames)
+        — or, with ``keep_pcm=True`` on an int16 signal,
+        ``([(mspec_c, loge_c)], n_frames, pcm_parts)`` where ``pcm_parts``
+        are the device-resident int16 upload-group buffers (each covering
+        its groups' samples plus a 2*HOP lookahead): a consumer that needs
+        the same PCM (the VBx frontend inside VoiceFemininityScoring)
+        reuses them instead of paying a second upload of the file.
 
         Each element covers CHUNK frames; uploads and chunk programs are
         dispatched asynchronously in order, so a consumer that only needs
@@ -176,7 +186,10 @@ class SidekitFrontend:
             sig = sig[:need]
         group = max(1, int(os.environ.get("ISS_UPLOAD_CHUNKS", "3")))
         codec = _upload_codec_enabled() and keep is np.int16
+        want_pcm = keep_pcm
+        keep_pcm = keep_pcm and keep is np.int16   # float sources: no share
         outs = []
+        pcm_parts = []
         for g in range(0, n_chunks, group):
             k = min(group, n_chunks - g)
             raw = sig[g * CHUNK * HOP: ((g + k) * CHUNK + 2) * HOP]
@@ -184,13 +197,19 @@ class SidekitFrontend:
             if packed is not None:
                 # digital-silence blocks elided: ships fewer link bytes,
                 # reconstructed bit-exactly on device (dsp/codec.py)
-                m, l = self._one_chunk_packed(jnp.asarray(packed),
-                                              len(raw) // BLOCK)
+                res = self._one_chunk_packed(jnp.asarray(packed),
+                                             len(raw) // BLOCK,
+                                             keep_pcm=keep_pcm)
             else:
-                m, l = self._one_chunk(jnp.asarray(raw))
+                res = self._one_chunk(jnp.asarray(raw), keep_pcm=keep_pcm)
+            m, l = res[0], res[1]
+            if keep_pcm:
+                pcm_parts.append(res[2])
             for j in range(k):
                 outs.append((m[j * CHUNK:(j + 1) * CHUNK],
                              l[j * CHUNK:(j + 1) * CHUNK]))
+        if want_pcm:
+            return outs, t, (pcm_parts if keep_pcm else None)
         return outs, t
 
     def mspec_loge(self, sig, pad_frames_to: int | None = None):

@@ -167,6 +167,35 @@ class VbxFrontend:
                                        jnp.int32(n), jnp.int32(n_frames))
         return fea[:n_frames]
 
+    def features_from_pcm(self, pcm_parts, n):
+        """x-vector features from device-resident int16 PCM upload buffers
+        (the sidekit frontend's `keep_pcm` groups) — zero additional link
+        bytes: VoiceFemininityScoring's VAD pass already shipped the
+        samples.
+
+        :param pcm_parts: [(len_g,) int16 device arrays], each covering its
+            upload group's samples plus a 2*HOP lookahead (the groups
+            overlap by that lookahead).
+        :param n: true sample count of the signal.
+        """
+        import jax.numpy as jnp
+
+        n_frames = (n - 80) // HOP + 1
+        t_bucket = -(-n_frames // 1024) * 1024
+        s = (t_bucket + 2) * HOP + 2 * BLOCK
+        # strip each group's 2*HOP lookahead except the last's, then pad
+        pieces = [p[:p.shape[0] - 2 * HOP] for p in pcm_parts[:-1]]
+        pieces.append(pcm_parts[-1])
+        have = sum(int(p.shape[0]) for p in pieces)
+        if have < s:
+            pieces.append(jnp.zeros(s - have, jnp.int16))
+        sig_dev = jnp.concatenate(pieces)[:s]
+        # zero anything past n (codec padding / sidekit chunk padding)
+        dither = self._dither_buffer(s)
+        fea = self._fbank_cmvn_i16(sig_dev, dither, jnp.int32(n),
+                                   jnp.int32(n_frames))
+        return fea[:n_frames]
+
     def features(self, signal):
         """Reference-compatible entry: float64 signal -> (T, 64) float32.
 
@@ -177,10 +206,7 @@ class VbxFrontend:
         ``auto`` (default) picks int16 on accelerator backends when the
         signal is losslessly int16-scaled, f32 on CPU.
         """
-        mode = os.environ.get("ISS_VBX_UPLOAD", "auto")
-        use_i16 = mode == "int16" or (mode == "auto"
-                                      and jax.default_backend() != "cpu")
-        if use_i16:
+        if vbx_i16_enabled():
             sig_int = (np.asarray(signal) * 2 ** 15).astype(np.int64)
             n = len(sig_int)
             if (n >= 400 and sig_int.min() >= -32768
@@ -201,6 +227,15 @@ class VbxFrontend:
 
     def __eq__(self, other):
         return self is other
+
+
+def vbx_i16_enabled():
+    """True when the int16 (device-dither) VBx path is selected — the same
+    decision `features()` makes; callers holding shared device PCM use it
+    to honor an explicit `ISS_VBX_UPLOAD=f32` exactness request."""
+    mode = os.environ.get("ISS_VBX_UPLOAD", "auto")
+    return mode == "int16" or (mode == "auto"
+                               and jax.default_backend() != "cpu")
 
 
 def _upload_pieces(arr, piece):

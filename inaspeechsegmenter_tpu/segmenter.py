@@ -249,14 +249,19 @@ class Segmenter:
                                    self.ffmpeg, "auto")
         return self.segment_signal(sig, s0, medianame)
 
-    def segment_signal(self, sig, start_sec=0, medianame="<signal>"):
+    def segment_signal(self, sig, start_sec=0, medianame="<signal>",
+                       return_pcm=False):
         """Segment an already-decoded 16 kHz mono signal (int16 or float)
-        -> [(label, start_s, stop_s)].
+        -> [(label, start_s, stop_s)] — or ``(lseg, pcm_parts | None)``
+        with ``return_pcm=True``.
 
         Framework extension: callers that already hold the PCM (e.g.
         `VoiceFemininityScoring`, which needs the same signal for its VBx
         features) skip a second decode of the same file; identical output
         to `__call__` on the file (the decode is deterministic).
+        ``return_pcm=True`` additionally hands back the device-resident
+        int16 upload buffers (when the streaming int16 path ran; None
+        otherwise) so the same transfer also feeds the VBx frontend.
         """
         s0 = start_sec
         if not (os.environ.get("ISS_STREAMING", "1") != "0"
@@ -273,15 +278,21 @@ class Segmenter:
                     "media %s duration is short. Robust results require "
                     "length of at least 720 milliseconds" % medianame)
                 mspec = _pad_short_mspec(mspec, t)
-            return self._fused_segment(mspec, loge, t, difflen, s0)
+            ret = self._fused_segment(mspec, loge, t, difflen, s0)
+            return (ret, None) if return_pcm else ret
 
         import jax.numpy as jnp
 
         with self.timers.time("features"):
             t = frame_count(len(sig))
             bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK
-            chunks, t = self.frontend.mspec_loge_chunks(sig,
-                                                        pad_frames_to=bucket)
+            pcm = None
+            if return_pcm:
+                chunks, t, pcm = self.frontend.mspec_loge_chunks(
+                    sig, pad_frames_to=bucket, keep_pcm=True)
+            else:
+                chunks, t = self.frontend.mspec_loge_chunks(
+                    sig, pad_frames_to=bucket)
         if t >= 68 and len(chunks) >= 2:
             n20 = (t + 1) // 2
             with self.timers.time("segment"):
@@ -290,8 +301,9 @@ class Segmenter:
                     self.gender.model.params if self.detect_gender else None,
                     chunks, t, t, n20)
                 ids = np.asarray(ids)[:n20]
-            return [(self.labels[lab], s0 + start * .02, s0 + stop * .02)
-                    for lab, start, stop in rle(ids)]
+            ret = [(self.labels[lab], s0 + start * .02, s0 + stop * .02)
+                   for lab, start, stop in rle(ids)]
+            return (ret, pcm) if return_pcm else ret
         # short or single-chunk media: fused whole-file program
         mspec = jnp.concatenate([m for m, _ in chunks])
         loge = jnp.concatenate([l for _, l in chunks])
@@ -302,7 +314,8 @@ class Segmenter:
                 "media %s duration is short. Robust results require length "
                 "of at least 720 milliseconds" % medianame)
             mspec = _pad_short_mspec(mspec, t)
-        return self._fused_segment(mspec, loge, t, difflen, s0)
+        ret = self._fused_segment(mspec, loge, t, difflen, s0)
+        return (ret, pcm) if return_pcm else ret
 
     # ------------------------------------------------------------------
     def batch_process(self, linput, loutput, verbose=False, skipifexist=False,

@@ -24,7 +24,7 @@ import numpy as np
 
 from .annotations import SpeechTimeline
 from .audio.io import media2sig16kmono
-from .dsp.vbx import VbxFrontend
+from .dsp.vbx import VbxFrontend, vbx_i16_enabled as _vbx_i16_enabled
 from .models.registry import get_remote, load_patch_model
 from .models.resnet import ResNet101XVector
 from .segmenter import Segmenter
@@ -253,9 +253,13 @@ class VoiceFemininityScoring:
         # reference behavior since float32 'auto' would round the float64
         # feature input
         sig = media2sig16kmono(fpath, ffmpeg=self.ffmpeg, dtype="auto")
+        pcm = None
         if sig.dtype == np.int16:
             signal = sig.astype(np.float64) / 32768.0
-            vad_seg = self.vad.segment_signal(sig, 0, fpath)
+            # the VAD upload doubles as the VBx feature input: ask the
+            # segmenter to keep its device-resident PCM buffers
+            vad_seg, pcm = self.vad.segment_signal(sig, 0, fpath,
+                                                   return_pcm=True)
         else:
             signal = media2sig16kmono(fpath, ffmpeg=self.ffmpeg,
                                       dtype="float64")
@@ -267,7 +271,11 @@ class VoiceFemininityScoring:
         if speech_duration:
             # stays device-resident: the extractor gathers its windows on
             # device (embeddings_from_features) — no host round trip
-            fea = self.features.features(signal)
+            if (pcm is not None and len(signal) >= 400
+                    and _vbx_i16_enabled()):
+                fea = self.features.features_from_pcm(pcm, len(signal))
+            else:
+                fea = self.features.features(signal)
             x_vectors = self.xvector_model(basename, fea, duration)
             x_vectors = self.apply_vad(x_vectors, timeline)
 

@@ -100,3 +100,36 @@ def test_i16_upload_rejects_out_of_range(monkeypatch):
     monkeypatch.setenv("ISS_VBX_UPLOAD", "int16")
     out = np.asarray(fe.features(sig))
     assert out.shape[1] == 64 and len(out) == (len(sig) - 80) // 160 + 1
+
+
+def test_features_from_shared_pcm(media_dir, monkeypatch):
+    """PCM buffers kept from the segmenter's VAD upload produce identical
+    VBx features to a fresh int16 upload of the same signal (the VFS
+    single-transfer path)."""
+    from inaspeechsegmenter_tpu.audio import read_wav
+    from inaspeechsegmenter_tpu.dsp.sidekit import SidekitFrontend
+    from inaspeechsegmenter_tpu.pipeline import bucket_chunks
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, frame_count
+
+    sig, _ = read_wav(f"{media_dir}/lamartine.wav", dtype="int16")
+    monkeypatch.setenv("ISS_VBX_UPLOAD", "int16")
+    fe = VbxFrontend()
+    direct = np.asarray(fe.features(sig.astype(np.float64) / 32768.0))
+
+    sfe = SidekitFrontend()
+    t = frame_count(len(sig))
+    bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK
+    _, _, pcm = sfe.mspec_loge_chunks(sig, pad_frames_to=bucket,
+                                      keep_pcm=True)
+    assert pcm is not None
+    shared = np.asarray(fe.features_from_pcm(pcm, len(sig)))
+    np.testing.assert_array_equal(direct, shared)
+
+
+def test_keep_pcm_none_for_float_sources():
+    from inaspeechsegmenter_tpu.dsp.sidekit import SidekitFrontend
+
+    fe = SidekitFrontend()
+    sig = np.zeros(16000 * 5, np.float32)
+    outs, t, pcm = fe.mspec_loge_chunks(sig, keep_pcm=True)
+    assert pcm is None and t == (len(sig) - 400) // 160 + 1
