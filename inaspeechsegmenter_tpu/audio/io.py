@@ -133,6 +133,13 @@ def _fix_streamed_riff(blob: bytes) -> bytes:
     idx = blob.find(b"data", 12)
     if idx >= 0:
         size = min(len(blob) - idx - 8, 0xFFFFFFFE)
+        if len(blob) - idx - 8 > size:
+            import warnings
+
+            warnings.warn(
+                "streamed WAV exceeds the 4 GiB RIFF limit (~37 h at "
+                "16 kHz mono); audio past that point is dropped — use "
+                "start_sec/stop_sec to window very long media")
         ba[idx + 4: idx + 8] = size.to_bytes(4, "little")
     return bytes(ba)
 

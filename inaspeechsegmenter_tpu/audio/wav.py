@@ -95,9 +95,11 @@ def _read_wav_stream(f, dtype, always_2d):
     f.seek(offset)
     payload = f.read(size)
     # a stream shorter than the declared chunk (EOF truncation) must still
-    # decode whole frames — np.frombuffer requires itemsize alignment
-    frame = block_align or max(1, (bits // 8) * max(1, channels))
-    if frame and len(payload) % frame:
+    # decode whole frames — np.frombuffer requires itemsize alignment.
+    # Computed from bits/channels, NOT the file's block_align field: a
+    # corrupt block_align must not break the frombuffer alignment.
+    frame = max(1, (bits // 8) * max(1, channels))
+    if len(payload) % frame:
         payload = payload[: len(payload) - len(payload) % frame]
 
     if audio_format == _WAVE_FORMAT_IEEE_FLOAT:

@@ -140,10 +140,14 @@ def _parse_tensor(mv):
             arr = u32.astype(np.uint16).view(np.float16)
         elif dtype_code == 5:                     # INT16: two's complement
             arr = u32.astype(np.uint16).view(np.int16)
-        elif dtype_code in (2, 3, 4, 9):          # UINT8/INT8/UINT16/BOOL
-            arr = u32.astype(np.uint8 if dtype_code in (2, 9)
-                             else dt).astype(dt) \
-                if dtype_code != 3 else u32.astype(np.uint8).view(np.int8)
+        elif dtype_code == 3:                     # INT8: two's complement
+            arr = u32.astype(np.uint8).view(np.int8)
+        elif dtype_code == 2:                     # UINT8
+            arr = u32.astype(np.uint8)
+        elif dtype_code == 4:                     # UINT16
+            arr = u32.astype(np.uint16)
+        elif dtype_code == 9:                     # BOOL
+            arr = u32.astype(np.uint8).astype(np.bool_)
         else:
             arr = u32.view(np.int32)
     else:

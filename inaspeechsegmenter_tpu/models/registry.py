@@ -108,11 +108,17 @@ def get_remote(model_fname, allow_download=True, allow_synthetic=False):
         url = DMODELS[model_fname] + model_fname
         dest = os.path.join(cache_dir(), model_fname)
         try:
-            # download to a temp name: an interrupted transfer must not
-            # leave a truncated file at the path every later run resolves
-            tmp = dest + ".part"
-            urllib.request.urlretrieve(url, tmp)  # noqa: S310
-            os.replace(tmp, dest)
+            # download to a per-process temp name: an interrupted transfer
+            # must not leave a truncated file at the path every later run
+            # resolves, and concurrent farm workers sharing the cache dir
+            # must not truncate each other's in-flight downloads
+            tmp = f"{dest}.part{os.getpid()}"
+            try:
+                urllib.request.urlretrieve(url, tmp)  # noqa: S310
+                os.replace(tmp, dest)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
             return dest
         except Exception as exc:
             raise ModelNotFoundError(

@@ -96,6 +96,8 @@ class Trainer:
         zero steps.
         """
         n = len(x)
+        if n == 0:
+            return []
         batch_size = min(batch_size or n, n)
         rng = np.random.default_rng(shuffle_seed)
         losses = []

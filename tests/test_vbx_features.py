@@ -126,6 +126,34 @@ def test_features_from_shared_pcm(media_dir, monkeypatch):
     np.testing.assert_array_equal(direct, shared)
 
 
+def test_features_from_shared_pcm_multigroup(monkeypatch):
+    """Multi-group PCM reconstruction (the 2*HOP lookahead stripping in
+    features_from_pcm) over several upload groups, with and without the
+    elision codec."""
+    from inaspeechsegmenter_tpu.dsp.sidekit import (CHUNK, SidekitFrontend,
+                                                    frame_count)
+    from inaspeechsegmenter_tpu.pipeline import bucket_chunks
+
+    rng = np.random.default_rng(13)
+    sig = (rng.standard_normal(CHUNK * 160 * 3 + 12345) * 2000
+           ).astype(np.int16)
+    sig[160 * CHUNK:160 * CHUNK + 400000] = 0   # elidable silence
+    monkeypatch.setenv("ISS_VBX_UPLOAD", "int16")
+    monkeypatch.setenv("ISS_UPLOAD_CHUNKS", "1")  # force multiple groups
+    fe = VbxFrontend()
+    for codec in ("0", "1"):
+        monkeypatch.setenv("ISS_UPLOAD_CODEC", codec)
+        direct = np.asarray(fe.features(sig.astype(np.float64) / 32768.0))
+        sfe = SidekitFrontend()
+        t = frame_count(len(sig))
+        bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK
+        _, _, pcm = sfe.mspec_loge_chunks(sig, pad_frames_to=bucket,
+                                          keep_pcm=True)
+        assert len(pcm) >= 3
+        shared = np.asarray(fe.features_from_pcm(pcm, len(sig)))
+        np.testing.assert_array_equal(direct, shared)
+
+
 def test_keep_pcm_none_for_float_sources():
     from inaspeechsegmenter_tpu.dsp.sidekit import SidekitFrontend
 
