@@ -180,14 +180,23 @@ class SidekitFrontend:
         want = t if pad_frames_to is None else max(t, pad_frames_to)
         n_chunks = max(1, -(-want // CHUNK))
         need = (n_chunks * CHUNK + 2) * HOP
+        want_pcm = keep_pcm
+        keep_pcm = keep_pcm and keep is np.int16   # float sources: no share
+        if keep_pcm and len(sig) > need:
+            # the PCM consumer (the VBx frontend's mirror tail) reads the
+            # TRUE last samples of the signal; when the frame count exactly
+            # fills the chunk bucket, up to WIN-2*HOP-1 = 79 trailing
+            # samples fall past the feature window — grow by one chunk so
+            # the shared buffers cover the whole signal (the extra chunk is
+            # near-all zeros: elided by the upload codec, masked downstream)
+            n_chunks += 1
+            need = (n_chunks * CHUNK + 2) * HOP
         if len(sig) < need:
             sig = np.pad(sig, (0, need - len(sig)))
         else:
             sig = sig[:need]
         group = max(1, int(os.environ.get("ISS_UPLOAD_CHUNKS", "3")))
         codec = _upload_codec_enabled() and keep is np.int16
-        want_pcm = keep_pcm
-        keep_pcm = keep_pcm and keep is np.int16   # float sources: no share
         outs = []
         pcm_parts = []
         for g in range(0, n_chunks, group):

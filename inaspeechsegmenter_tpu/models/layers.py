@@ -39,11 +39,23 @@ _PRECISIONS = {
 }
 
 
+def resolve_precision(mode, table, env_name):
+    """Shared env-knob resolution: explicit unknown values fail fast with a
+    clear message (not a KeyError deep inside a jit trace, and not a silent
+    fallback that would run a different precision than requested)."""
+    prec = table.get(mode.lower())
+    if prec is None:
+        raise ValueError(
+            f"{env_name}={mode!r} is not a known precision; expected one of "
+            f"{sorted(table)}")
+    return prec
+
+
 def cnn_precision():
     mode = os.environ.get("ISS_CNN_PRECISION")
     if mode is None:
         mode = "high" if jax.default_backend() == "tpu" else "highest"
-    return _PRECISIONS[mode.lower()]
+    return resolve_precision(mode, _PRECISIONS, "ISS_CNN_PRECISION")
 
 
 def _activation(name, x):

@@ -45,10 +45,10 @@ _XPREC = {"highest": jax.lax.Precision.HIGHEST,
 
 
 def xvec_precision():
-    mode = os.environ.get("ISS_XVEC_PRECISION", "highest")
-    # unknown/empty values fall back to exact f32 rather than crashing a
-    # trace deep inside jit
-    return _XPREC.get(mode.lower(), jax.lax.Precision.HIGHEST)
+    from .layers import resolve_precision
+
+    mode = os.environ.get("ISS_XVEC_PRECISION") or "highest"
+    return resolve_precision(mode, _XPREC, "ISS_XVEC_PRECISION")
 
 
 # ---------------------------------------------------------------------------

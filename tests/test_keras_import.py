@@ -126,3 +126,16 @@ def test_cnn_precision_knob(monkeypatch):
         outs[mode] = np.asarray(build_forward(spec)(params, x))
     # identical graph topology; numerics agree to f32-ish on CPU
     np.testing.assert_allclose(outs["highest"], outs["bf16"], atol=2e-2)
+    # unknown explicit values fail fast with a clear message (both knobs)
+    import pytest
+
+    from inaspeechsegmenter_tpu.models.resnet import xvec_precision
+
+    monkeypatch.setenv("ISS_CNN_PRECISION", "bogus")
+    with pytest.raises(ValueError, match="ISS_CNN_PRECISION"):
+        L.cnn_precision()
+    monkeypatch.setenv("ISS_XVEC_PRECISION", "bogus")
+    with pytest.raises(ValueError, match="ISS_XVEC_PRECISION"):
+        xvec_precision()
+    monkeypatch.setenv("ISS_XVEC_PRECISION", "")   # empty -> default
+    assert xvec_precision() == jax.lax.Precision.HIGHEST

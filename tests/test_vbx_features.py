@@ -154,6 +154,34 @@ def test_features_from_shared_pcm_multigroup(monkeypatch):
         np.testing.assert_array_equal(direct, shared)
 
 
+def test_features_from_shared_pcm_exact_bucket_tail(monkeypatch):
+    """Regression: when the frame count exactly fills the chunk bucket, up
+    to 79 trailing samples fall past the feature window — the shared PCM
+    must still cover them (the VBx mirror tail reads the true last 200
+    samples), so mspec_loge_chunks grows by one chunk in that case."""
+    from inaspeechsegmenter_tpu.dsp.sidekit import (CHUNK, HOP,
+                                                    SidekitFrontend,
+                                                    frame_count)
+    from inaspeechsegmenter_tpu.pipeline import bucket_chunks
+
+    rng = np.random.default_rng(17)
+    # t == CHUNK exactly, with the maximal 79-sample overhang of loud samples
+    n = CHUNK * HOP + 399
+    sig = (rng.standard_normal(n) * 3000).astype(np.int16)
+    assert frame_count(n) == CHUNK
+    monkeypatch.setenv("ISS_VBX_UPLOAD", "int16")
+    fe = VbxFrontend()
+    direct = np.asarray(fe.features(sig.astype(np.float64) / 32768.0))
+    sfe = SidekitFrontend()
+    t = frame_count(len(sig))
+    bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK
+    _, _, pcm = sfe.mspec_loge_chunks(sig, pad_frames_to=bucket,
+                                      keep_pcm=True)
+    assert sum(int(p.shape[0]) for p in pcm) >= n
+    shared = np.asarray(fe.features_from_pcm(pcm, len(sig)))
+    np.testing.assert_array_equal(direct, shared)
+
+
 def test_keep_pcm_none_for_float_sources():
     from inaspeechsegmenter_tpu.dsp.sidekit import SidekitFrontend
 
