@@ -162,7 +162,77 @@ def _load_weight_arrays(h5file):
             arrays.extend(a for _, a in sorted(named, key=key))
         if arrays:
             out[lname] = arrays
+            # nested Model/Sequential layers store one top-level group whose
+            # weight_names are sub-layer paths ('inner_dense/kernel:0'); the
+            # flattened graph looks sub-layers up by their own name — group
+            # arrays by leading path segment so both resolve
+            if wnames:
+                by_sub = {}
+                for wn, a in zip(wnames, arrays):
+                    parts = wn.split("/")
+                    # both 'inner_dense/kernel:0' (relative) and
+                    # 'nested_model/inner_dense/kernel:0' (prefixed) occur
+                    # across Keras vintages
+                    if parts[0] == lname and len(parts) > 2:
+                        parts = parts[1:]
+                    by_sub.setdefault(parts[0], []).append(a)
+                for seg, arrs in by_sub.items():
+                    if seg != lname:
+                        out.setdefault(seg, arrs)
     return out
+
+
+def _flatten_nested(entries):
+    """Inline nested Model/Sequential/Functional layers (TF-2.x era models
+    sometimes wrap a feature extractor as a sub-model).
+
+    Supported shape: single-input single-output nested models.  The nested
+    model's internal InputLayers become identity pass-throughs wired to the
+    parent inbound; later references to the nested model's name are renamed
+    to its output layer.
+    """
+    out = []
+    rename = {}
+
+    def resolve(names):
+        return [rename.get(n, n) for n in names]
+
+    for e in entries:
+        e = dict(e, inbound=resolve(e["inbound"]))
+        if e["class_name"] not in ("Sequential", "Functional", "Model"):
+            out.append(e)
+            continue
+        sub_entries, sub_in, sub_out = _layer_entries(
+            {"class_name": e["class_name"], "config": e["config"]})
+        sub_entries, sub_rename = _flatten_nested(sub_entries)
+        if sub_out is not None and len(sub_out) != 1:
+            raise KerasImportError(
+                f"nested model {e['name']!r} has {len(sub_out)} outputs; "
+                "only single-output nested models are supported")
+        if sub_in is not None and len(sub_in) > 1:
+            raise KerasImportError(
+                f"nested model {e['name']!r} has {len(sub_in)} inputs; "
+                "only single-input nested models are supported")
+        seen = {x["name"] for x in out}
+        parent_in = e["inbound"]
+        for j, se in enumerate(sub_entries):
+            if se["name"] in seen:
+                raise KerasImportError(
+                    f"name collision flattening nested model {e['name']!r}:"
+                    f" {se['name']!r} already exists in the outer graph")
+            se = dict(se)
+            if se["class_name"] == "InputLayer":
+                # identity pass-through bound to the parent's inbound
+                se = dict(name=se["name"], class_name="Activation",
+                          config={"activation": "linear"},
+                          inbound=list(parent_in))
+            elif j == 0 and not se["inbound"]:
+                # sequential nested chain head
+                se["inbound"] = list(parent_in)
+            out.append(se)
+        last = sub_out[0] if sub_out else sub_entries[-1]["name"]
+        rename[e["name"]] = sub_rename.get(last, last)
+    return out, rename
 
 
 def read_h5(path):
@@ -174,6 +244,10 @@ def read_h5(path):
         config = json.loads(_decode(raw))
         weights = _load_weight_arrays(f)
     entries, inputs, outputs = _layer_entries(config)
+    entries, rename = _flatten_nested(entries)
+    if rename:
+        inputs = [rename.get(n, n) for n in inputs] if inputs else inputs
+        outputs = [rename.get(n, n) for n in outputs] if outputs else outputs
     spec = dict(layers=entries, inputs=inputs, outputs=outputs)
     params = {e["name"]: weights.get(e["name"], []) for e in entries}
     return spec, params

@@ -75,9 +75,35 @@ def _bn(x, p, eps=1e-5):
     return (x - p["mean"]) * inv * p["gamma"] + p["beta"]
 
 
-def _bottleneck(x, p, stride):
+def _tmask(h, valid):
+    """Zero time positions >= valid (per-sample).
+
+    Applied immediately before every 3x3 conv in the masked forward: a
+    boundary output then reads exactly the zeros that the exact-length
+    program's conv padding would provide, so a window padded out to WINLEN
+    produces the same embedding as running at its true length (up to float
+    reassociation) while every tail length shares ONE compiled program.
+    All other ops (1x1 convs — including strided shortcuts, whose output
+    grid floor((t-1)/2)+1 matches the 3x3/pad-1 grid — BN, ReLU, adds) are
+    pointwise in time, so garbage stays confined to masked positions.
+    """
+    if valid is None:
+        return h
+    m = jnp.arange(h.shape[2])[None, :] < valid[:, None]
+    return h * m[:, None, :, None].astype(h.dtype)
+
+
+def _next_valid(valid, stride):
+    # conv k=3 / pad=1 (and 1x1 / pad=0) length map: floor((t-1)/s) + 1
+    if valid is None or stride == 1:
+        return valid
+    return (valid - 1) // stride + 1
+
+
+def _bottleneck(x, p, stride, valid=None):
     out = jax.nn.relu(_bn(_conv1x1(x, p["conv1"]), p["bn1"]))
-    out = jax.nn.relu(_bn(_conv(out, p["conv2"], stride), p["bn2"]))
+    out = jax.nn.relu(_bn(_conv(_tmask(out, valid), p["conv2"], stride),
+                          p["bn2"]))
     out = _bn(_conv1x1(out, p["conv3"]), p["bn3"])
     if "sc_conv" in p:
         sc = _bn(_conv1x1(x, p["sc_conv"], stride), p["sc_bn"])
@@ -86,9 +112,11 @@ def _bottleneck(x, p, stride):
     return jax.nn.relu(out + sc)
 
 
-def _basic(x, p, stride):
-    out = jax.nn.relu(_bn(_conv(x, p["conv1"], stride), p["bn1"]))
-    out = _bn(_conv(out, p["conv2"]), p["bn2"])
+def _basic(x, p, stride, valid=None):
+    out = jax.nn.relu(_bn(_conv(_tmask(x, valid), p["conv1"], stride),
+                          p["bn1"]))
+    out = _bn(_conv(_tmask(out, _next_valid(valid, stride)), p["conv2"]),
+              p["bn2"])
     if "sc_conv" in p:
         sc = _bn(_conv1x1(x, p["sc_conv"], stride), p["sc_bn"])
     else:
@@ -168,18 +196,36 @@ class ResNetXVector:
         return params
 
     # -- forward ------------------------------------------------------------
-    def forward(self, params, x):
-        """x: (B, feat_dim, T) -> (B, embed_dim)."""
+    def forward(self, params, x, n_valid=None):
+        """x: (B, feat_dim, T) -> (B, embed_dim).
+
+        ``n_valid``: optional (B,) int32 of true time lengths — masked mode:
+        time positions >= n_valid[b] are zeroed before every 3x3 conv and
+        statistical pooling averages over the true length only, so a window
+        zero-padded out to T yields the exact-length embedding (up to float
+        reassociation).  This bounds the jit cache for ragged tail windows:
+        every tail length {10..144} shares one (B, feat, WINLEN) program
+        instead of compiling a fresh ResNet per length.
+        """
+        valid = None if n_valid is None else jnp.asarray(n_valid, jnp.int32)
         h = x[:, :, :, None]                       # NHWC, H=freq, W=time
-        h = jnp.transpose(h, (0, 1, 2, 3))
-        h = jax.nn.relu(_bn(_conv(h, params["conv1"]), params["bn1"]))
+        h = jax.nn.relu(_bn(_conv(_tmask(h, valid), params["conv1"]),
+                            params["bn1"]))
         block_fn = _bottleneck if self.block == "bottleneck" else _basic
         for si, stride in enumerate([1, 2, 2, 2]):
             for bi, p in enumerate(params[f"layer{si + 1}"]):
-                h = block_fn(h, p, stride if bi == 0 else 1)
+                s = stride if bi == 0 else 1
+                h = block_fn(h, p, s, valid)
+                valid = _next_valid(valid, s)
         # statistical pooling over time (W axis): mean + std
-        mean = jnp.mean(h, axis=2)                 # (B, F', C)
-        meansq = jnp.mean(h * h, axis=2)
+        if valid is None:
+            mean = jnp.mean(h, axis=2)             # (B, F', C)
+            meansq = jnp.mean(h * h, axis=2)
+        else:
+            hm = _tmask(h, valid)
+            cnt = valid.astype(h.dtype)[:, None, None]
+            mean = jnp.sum(hm, axis=2) / cnt
+            meansq = jnp.sum(hm * hm, axis=2) / cnt
         std = jnp.sqrt(meansq - mean * mean + 1e-10)
         # torch layout flattens (C, F'); ours is (F', C) — transpose to match
         mean = jnp.transpose(mean, (0, 2, 1)).reshape(h.shape[0], -1)

@@ -122,22 +122,74 @@ class JobServer:
 
 
 class JobClient:
-    """TCP proxy with the same call surface as the server object."""
+    """TCP proxy with the same call surface as the server object.
 
-    def __init__(self, uri):
+    Socket operations carry a ``timeout`` and each call retries over a
+    fresh connection up to ``reconnect`` times, so a server that dies
+    mid-read surfaces a prompt ``ConnectionError`` instead of blocking a
+    worker forever in ``readline()`` (the reference's Pyro4 proxy fails
+    fast the same way).  A retried lease MAY double-lease jobs if the
+    server processed the lost reply — harmless under the farm's
+    idempotent design (workers run with ``skipifexist=True``; outputs are
+    deterministic).
+    """
+
+    def __init__(self, uri, timeout=30.0, reconnect=2):
         assert uri.startswith("tcp://"), uri
+        self.uri = uri
         host, port = uri[len("tcp://"):].rsplit(":", 1)
-        self.sock = socket.create_connection((host, int(port)))
+        self._addr = (host, int(port))
+        self.timeout = timeout
+        self.reconnect = reconnect
+        self.sock = None
+        self.rfile = None
+        self._connect()
+
+    def _connect(self):
+        self.sock = socket.create_connection(self._addr,
+                                             timeout=self.timeout)
+        self.sock.settimeout(self.timeout)
         self.rfile = self.sock.makefile("r")
 
+    def _drop(self):
+        for closer in (self.rfile, self.sock):
+            try:
+                if closer is not None:
+                    closer.close()
+            except OSError:
+                pass
+        self.sock = self.rfile = None
+
     def _call(self, method, *args, **kwargs):
-        payload = json.dumps({"method": method, "args": list(args),
-                              "kwargs": kwargs}) + "\n"
-        self.sock.sendall(payload.encode())
-        resp = json.loads(self.rfile.readline())
-        if "error" in resp:
-            raise RuntimeError(resp["error"])
-        return resp["result"]
+        import time
+
+        payload = (json.dumps({"method": method, "args": list(args),
+                               "kwargs": kwargs}) + "\n").encode()
+        last = None
+        for attempt in range(self.reconnect + 1):
+            try:
+                if self.sock is None:
+                    self._connect()
+                self.sock.sendall(payload)
+                line = self.rfile.readline()
+                if not line:
+                    raise ConnectionError("server closed the connection")
+                resp = json.loads(line)
+                if "error" in resp:
+                    raise RuntimeError(resp["error"])
+                return resp["result"]
+            except RuntimeError:
+                raise              # server-side error: connection is fine
+            except (OSError, ValueError) as exc:
+                # socket.timeout is OSError; ValueError = torn JSON line
+                last = exc
+                self._drop()
+                if attempt < self.reconnect:
+                    time.sleep(0.2 * (attempt + 1))
+        raise ConnectionError(
+            f"job server at {self.uri} unreachable "
+            f"({self.reconnect + 1} attempts, timeout={self.timeout}s): "
+            f"{last}") from last
 
     def get_job(self, msg):
         return tuple(self._call("get_job", msg))
@@ -153,19 +205,29 @@ class JobClient:
         return self._call("has_more_jobs")
 
     def close(self):
-        self.sock.close()
+        self._drop()
 
 
-def client_work_loop(uri, segmenter, hostname=None):
+def client_work_loop(uri, segmenter, hostname=None, timeout=30.0,
+                     reconnect=2):
     """Reference client loop (pyro_client.py:64-74): lease 20 jobs, process
-    with skipifexist=True / nbtry=3, repeat until the queue is empty."""
+    with skipifexist=True / nbtry=3, repeat until the queue is empty.
+
+    Exits with a clear message (instead of hanging) when the server
+    vanishes: lease calls time out after ``timeout`` seconds per socket op
+    and ``reconnect`` fresh-connection retries.
+    """
     import socket as _socket
 
     hostname = hostname or _socket.gethostname()
-    jobserver = JobClient(uri)
+    jobserver = JobClient(uri, timeout=timeout, reconnect=reconnect)
     ret = -1
     while True:
-        lsrc, ldst = jobserver.get_njobs("%s %s" % (hostname, ret))
+        try:
+            lsrc, ldst = jobserver.get_njobs("%s %s" % (hostname, ret))
+        except ConnectionError as exc:
+            print("[jobclient] job server gone, exiting work loop:", exc)
+            break
         if len(lsrc) == 0:
             print("[jobclient] queue drained, exiting work loop")
             break

@@ -71,6 +71,12 @@ class JaxResnetExtractor:
                                            embed_dim=EMBED_DIM)
         self.mesh = mesh
         self._sharded_fwd = None
+        # masked-forward program for the ragged tail window: every tail
+        # length (10..144 frames) runs zero-padded to WINLEN through this
+        # ONE program (n_valid traced) instead of compiling a full
+        # ResNet101 per distinct length — 20-40 s each through the
+        # tunneled link, recurring across a corpus
+        self._masked_fwd = self.net._jit
         if mesh is not None:
             # multi-chip x-vector extraction: windows are independent, so
             # the sub-batch axis shards over the mesh data axis (params
@@ -113,6 +119,21 @@ class JaxResnetExtractor:
     def get_embedding(self, fea):
         """(T, 64) features -> (256,) x-vector (single window, exact length)."""
         out = self.net(self.params, jnp.asarray(fea.T[None]))
+        return np.asarray(out)[0]
+
+    def get_embedding_masked(self, fea_dev, start, length):
+        """Tail-window embedding via the bounded masked program: gather the
+        window zero-padded to WINLEN on device and run the shared masked
+        forward at its true length (see models/resnet.py forward(n_valid));
+        equal to `get_embedding` on the exact-length slice up to float
+        reassociation (tests/test_resnet.py::test_masked_forward_*)."""
+        t = fea_dev.shape[0]
+        # clamped gather: positions >= `length` duplicate the last frame,
+        # but the masked forward zeroes every position >= n_valid anyway
+        idx = jnp.minimum(start + jnp.arange(WINLEN), t - 1)
+        out = self._masked_fwd(self.params,
+                               jnp.transpose(fea_dev[idx], (1, 0))[None],
+                               jnp.asarray([length], jnp.int32))
         return np.asarray(out)[0]
 
     def get_embeddings_batch(self, windows):
@@ -169,32 +190,61 @@ class JaxResnetExtractor:
         wins = jnp.transpose(fea_dev[idx], (0, 2, 1))    # (nw_pad, 64, 144)
         return self.get_embeddings_batch(wins)[:nw]
 
-    def __call__(self, basename, fea, duration):
+    def __call__(self, basename, fea, duration, timeline=None):
         """Reference-compatible VBxExtractor.__call__ (vbx_segmenter.py:217-246):
-        returns [(key, (seg_start, seg_end), xvector*10)]."""
+        returns [(key, (seg_start, seg_end), xvector*10)].
+
+        ``timeline``: optional `SpeechTimeline` — windows whose midpoint is
+        NOT in speech are skipped before the ResNet runs.  Output-identical
+        to embedding everything: `apply_vad` (reference
+        vbx_segmenter.py:129-145) discards such windows unconditionally —
+        they can be neither retained nor back-filled — so skipping them
+        only removes wasted compute (the reference's own "most costly
+        part", vbx_segmenter.py:174-176).  Disable with
+        ``ISS_XVEC_SPEECH_ONLY=0`` (the skipped windows then just get
+        embedded and discarded later).
+        """
+        speech_only = (timeline is not None
+                       and os.environ.get("ISS_XVEC_SPEECH_ONLY", "1") != "0")
+
+        def midpoint_in_speech(seg):
+            # the exact midpoint apply_vad will test (same rounding)
+            return timeline.contains_point((seg[0] + seg[1]) / 2)
+
         xvectors = []
         starts = list(range(0, len(fea) - WINLEN, STEP))
-        if starts:
+        segs = [(round(s / 100.0, 3), round(s / 100.0 + WINLEN / 100.0, 3))
+                for s in starts]
+        if speech_only:
+            kept = [i for i, seg in enumerate(segs) if midpoint_in_speech(seg)]
+        else:
+            kept = list(range(len(starts)))
+        if kept:
             embs = self.embeddings_from_features(
-                jnp.asarray(fea, jnp.float32), np.asarray(starts, np.int32))
-            for s, emb in zip(starts, embs):
-                key = f"{basename}_{s:08}-{s + WINLEN:08}"
+                jnp.asarray(fea, jnp.float32),
+                np.asarray([starts[i] for i in kept], np.int32))
+            for i, emb in zip(kept, embs):
+                key = f"{basename}_{starts[i]:08}-{starts[i] + WINLEN:08}"
                 if np.isnan(emb).any():
                     logger.warning(f"NaN found, not processing: {key}{os.linesep}")
                 else:
-                    xvectors.append(
-                        (key, (round(s / 100.0, 3),
-                               round(s / 100.0 + WINLEN / 100.0, 3)), emb))
+                    xvectors.append((key, segs[i], emb))
         start = starts[-1] if starts else 0
         if len(fea) - start - STEP >= 10:
-            data = fea[start + STEP: len(fea)]
-            emb = self.get_embedding(data.astype(np.float32))
-            key = f"{basename}_{start + STEP:08}-{len(fea):08}"
-            if np.isnan(emb).any():
-                logger.warning(f"NaN found, not processing: {key}{os.linesep}")
-            else:
-                xvectors.append((key, (round((start + STEP) / 100.0, 3),
-                                       round(duration, 3)), emb))
+            tail_seg = (round((start + STEP) / 100.0, 3), round(duration, 3))
+            if not speech_only or midpoint_in_speech(tail_seg):
+                tail_len = len(fea) - (start + STEP)
+                if os.environ.get("ISS_XVEC_TAIL", "masked") == "exact":
+                    emb = self.get_embedding(
+                        np.asarray(fea[start + STEP:], np.float32))
+                else:
+                    emb = self.get_embedding_masked(
+                        jnp.asarray(fea, jnp.float32), start + STEP, tail_len)
+                key = f"{basename}_{start + STEP:08}-{len(fea):08}"
+                if np.isnan(emb).any():
+                    logger.warning(f"NaN found, not processing: {key}{os.linesep}")
+                else:
+                    xvectors.append((key, tail_seg, emb))
         return [(key, seg, x * 10) for key, seg, x in xvectors]
 
 
@@ -242,8 +292,9 @@ class VoiceFemininityScoring:
                 midpoint_seg.append((overlap / dur, key, (start, stop), x))
         return add_needed_vectors(n_xvectors, midpoint_seg)
 
-    def __call__(self, fpath):
-        """-> (score | None, speech_duration_s, n_retained_xvectors)."""
+    def _prepare(self, fpath):
+        """Decode + VAD + VBx features (everything before the ResNet):
+        -> (basename, fea | None, timeline, duration, speech_duration)."""
         basename = os.path.splitext(os.path.basename(fpath))[0]
 
         # single decode: 'auto' yields exact int16 for losslessly-PCM16
@@ -268,6 +319,7 @@ class VoiceFemininityScoring:
         timeline = SpeechTimeline.from_vad(vad_seg)
         speech_duration = timeline.total_duration()
 
+        fea = None
         if speech_duration:
             # stays device-resident: the extractor gathers its windows on
             # device (embeddings_from_features) — no host round trip
@@ -276,20 +328,29 @@ class VoiceFemininityScoring:
                 fea = self.features.features_from_pcm(pcm, len(signal))
             else:
                 fea = self.features.features(signal)
-            x_vectors = self.xvector_model(basename, fea, duration)
-            x_vectors = self.apply_vad(x_vectors, timeline)
+        return basename, fea, timeline, duration, speech_duration
 
-            x = np.asarray([x for _, _, x in x_vectors])
-            pred = np.asarray(self.gender_detection_mlp_model(
-                jnp.asarray(x))).squeeze()
-            pred = np.atleast_1d(pred)
-            g_preds = [(seg[0], seg[1], float(p))
-                       for (_, seg, _), p in zip(x_vectors, pred)]
-            score, nb_vectors = get_femininity_score(g_preds), len(g_preds)
-        else:
-            score, nb_vectors = None, 0
+    def _score_prepared(self, prepared):
+        """ResNet + gender MLP on prepared features
+        -> (score | None, speech_duration_s, n_retained_xvectors)."""
+        basename, fea, timeline, duration, speech_duration = prepared
+        if not speech_duration:
+            return None, speech_duration, 0
+        x_vectors = self.xvector_model(basename, fea, duration,
+                                       timeline=timeline)
+        x_vectors = self.apply_vad(x_vectors, timeline)
 
-        return score, speech_duration, nb_vectors
+        x = np.asarray([x for _, _, x in x_vectors])
+        pred = np.asarray(self.gender_detection_mlp_model(
+            jnp.asarray(x))).squeeze()
+        pred = np.atleast_1d(pred)
+        g_preds = [(seg[0], seg[1], float(p))
+                   for (_, seg, _), p in zip(x_vectors, pred)]
+        return get_femininity_score(g_preds), speech_duration, len(g_preds)
+
+    def __call__(self, fpath):
+        """-> (score | None, speech_duration_s, n_retained_xvectors)."""
+        return self._score_prepared(self._prepare(fpath))
 
     # ------------------------------------------------------------------
     def batch_score(self, linput, loutput, verbose=False, skipifexist=False,
@@ -304,44 +365,64 @@ class VoiceFemininityScoring:
 
         Returns (total_duration_s, n_processed, avg_s_per_file, lmsg) with
         lmsg entries (dst, 0|1|2, 'ok t'|'already exists'|'error: ...').
+
+        Host prefetch: decode + VAD + VBx features of the next
+        ``ISS_PREFETCH`` files run on producer threads while the current
+        file's ResNet batches execute (same pattern as
+        Segmenter.batch_process; the reference's featGenerator analogue,
+        segmenter.py:377-387 — its VFS pipeline has no such overlap).
         """
         import random
         import sys
         import time
+        from concurrent.futures import ThreadPoolExecutor
 
         t0 = time.time()
         lmsg = []
-        for src, dst in zip(linput, loutput):
+
+        def produce(src, dst):
             if skipifexist and os.path.exists(dst):
-                lmsg.append((dst, 1, "already exists"))
-                if verbose:
-                    print("%d/%d" % (len(lmsg), len(linput)), [lmsg[-1]])
-                continue
+                return None, (dst, 1, "already exists")
             dname = os.path.dirname(dst)
             if dname and not os.path.isdir(dname):
                 os.makedirs(dname, exist_ok=True)
-            b = time.time()
-            result = err = None
+            err = None
             for itry in range(nbtry):
                 try:
-                    result = self(src)
-                    break
+                    return self._prepare(src), (dst, 0, "ok")
                 except Exception:
                     err = sys.exc_info()[0]
                     if itry != nbtry - 1:
                         time.sleep(random.random() * trydelay)
-            if result is None:
-                lmsg.append((dst, 2, "error: " + str(err)))
-            else:
-                score, speech_dur, n_vec = result
-                with open(dst, "w") as fh:
-                    fh.write("score\tspeech_duration\tnb_vectors\n")
-                    fh.write("%s\t%s\t%d\n" % (
-                        "" if score is None else repr(float(score)),
-                        repr(float(speech_dur)), n_vec))
-                lmsg.append((dst, 0, "ok " + str(time.time() - b)))
-            if verbose:
-                print("%d/%d" % (len(lmsg), len(linput)), [lmsg[-1]])
+            return None, (dst, 2, "error: " + str(err))
+
+        lin = list(zip(linput, loutput))
+        default_depth = "2" if (os.cpu_count() or 1) >= 4 else "1"
+        depth = max(1, int(os.environ.get("ISS_PREFETCH", default_depth)))
+        with ThreadPoolExecutor(max_workers=depth) as pool:
+            futs = {i: pool.submit(produce, *lin[i])
+                    for i in range(min(depth, len(lin)))}
+            for i, (src, dst) in enumerate(lin):
+                prepared, msg = futs.pop(i).result()
+                if i + depth < len(lin):
+                    futs[i + depth] = pool.submit(produce, *lin[i + depth])
+                lmsg.append(msg)
+                if prepared is not None:
+                    b = time.time()
+                    try:
+                        score, speech_dur, n_vec = \
+                            self._score_prepared(prepared)
+                        with open(dst, "w") as fh:
+                            fh.write("score\tspeech_duration\tnb_vectors\n")
+                            fh.write("%s\t%s\t%d\n" % (
+                                "" if score is None else repr(float(score)),
+                                repr(float(speech_dur)), n_vec))
+                        lmsg[-1] = (dst, 0, "ok " + str(time.time() - b))
+                    except Exception:
+                        lmsg[-1] = (dst, 2,
+                                    "error: " + str(sys.exc_info()[0]))
+                if verbose:
+                    print("%d/%d" % (len(lmsg), len(linput)), [lmsg[-1]])
         dur = time.time() - t0
         n_ok = len([e for e in lmsg if e[1] == 0])
         return dur, n_ok, dur / n_ok if n_ok else -1, lmsg

@@ -139,3 +139,150 @@ def test_cnn_precision_knob(monkeypatch):
         xvec_precision()
     monkeypatch.setenv("ISS_XVEC_PRECISION", "")   # empty -> default
     assert xvec_precision() == jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Legacy-format fixtures built by hand (NOT via in-env model.save): the real
+# released files are 2018/TF-2.x era and may carry serialization shapes the
+# current Keras never emits.  Each fixture writes the h5 layout directly.
+# ---------------------------------------------------------------------------
+
+def _write_legacy_h5(path, model_config, layer_weights):
+    """Write a Keras-2-era hdf5: model_config/keras_version/backend attrs as
+    bytes, model_weights with layer_names / per-layer weight_names attrs."""
+    import h5py
+    import json
+
+    with h5py.File(path, "w") as f:
+        f.attrs["model_config"] = json.dumps(model_config).encode()
+        f.attrs["keras_version"] = b"2.8.0"
+        f.attrs["backend"] = b"tensorflow"
+        mw = f.create_group("model_weights")
+        mw.attrs["layer_names"] = [n.encode() for n in layer_weights]
+        mw.attrs["backend"] = b"tensorflow"
+        mw.attrs["keras_version"] = b"2.8.0"
+        for lname, wlist in layer_weights.items():
+            g = mw.create_group(lname)
+            g.attrs["weight_names"] = [wn.encode() for wn, _ in wlist]
+            for wn, arr in wlist:
+                node = g
+                parts = wn.split("/")
+                for p in parts[:-1]:
+                    node = node.require_group(p)
+                node.create_dataset(parts[-1], data=arr)
+
+
+def test_legacy_sequential_batch_input_shape(tmp_path, rng):
+    """TF-2.8-style Sequential: no InputLayer entry, first layer carries
+    only batch_input_shape; bytes attrs for keras_version/backend."""
+    from inaspeechsegmenter_tpu.models.keras_h5 import ImportedModel
+
+    w0 = rng.standard_normal((5, 4)).astype(np.float32)
+    b0 = rng.standard_normal(4).astype(np.float32)
+    cfg = {"class_name": "Sequential", "config": {
+        "name": "seq", "layers": [
+            {"class_name": "Dense", "config": {
+                "name": "d0", "units": 4, "activation": "relu",
+                "use_bias": True,
+                "batch_input_shape": [None, 5], "dtype": "float32"}},
+        ]}}
+    p = str(tmp_path / "legacy_seq.hdf5")
+    _write_legacy_h5(p, cfg, {"d0": [("d0/kernel:0", w0), ("d0/bias:0", b0)]})
+    model = ImportedModel.from_h5(p)
+    x = rng.standard_normal((3, 5)).astype(np.float32)
+    want = np.maximum(x @ w0 + b0, 0)
+    np.testing.assert_allclose(np.asarray(model(x)), want, rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_legacy_nested_sequential(tmp_path, rng):
+    """Model-in-Model: an inner Sequential feature block inside an outer
+    Sequential, weights stored under the nested layer's group with
+    sub-layer weight paths (both relative and prefixed forms)."""
+    from inaspeechsegmenter_tpu.models.keras_h5 import ImportedModel
+
+    wi = rng.standard_normal((6, 5)).astype(np.float32)
+    bi = rng.standard_normal(5).astype(np.float32)
+    wo = rng.standard_normal((5, 2)).astype(np.float32)
+    bo = rng.standard_normal(2).astype(np.float32)
+    inner = {"class_name": "Sequential", "config": {
+        "name": "feat", "layers": [
+            {"class_name": "Dense", "config": {
+                "name": "din", "units": 5, "activation": "tanh",
+                "use_bias": True, "batch_input_shape": [None, 6]}},
+        ]}}
+    cfg = {"class_name": "Sequential", "config": {
+        "name": "outer", "layers": [
+            inner,
+            {"class_name": "Dense", "config": {
+                "name": "dout", "units": 2, "activation": "softmax",
+                "use_bias": True}},
+        ]}}
+    p = str(tmp_path / "legacy_nested.hdf5")
+    _write_legacy_h5(p, cfg, {
+        "feat": [("din/kernel:0", wi), ("din/bias:0", bi)],
+        "dout": [("dout/kernel:0", wo), ("dout/bias:0", bo)]})
+    model = ImportedModel.from_h5(p)
+    x = rng.standard_normal((4, 6)).astype(np.float32)
+    h = np.tanh(x @ wi + bi)
+    logits = h @ wo + bo
+    want = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(model(x)), want, rtol=1e-5,
+                               atol=1e-6)
+
+    # prefixed weight-path variant ('feat/din/kernel:0')
+    p2 = str(tmp_path / "legacy_nested_prefixed.hdf5")
+    _write_legacy_h5(p2, cfg, {
+        "feat": [("feat/din/kernel:0", wi), ("feat/din/bias:0", bi)],
+        "dout": [("dout/kernel:0", wo), ("dout/bias:0", bo)]})
+    model2 = ImportedModel.from_h5(p2)
+    np.testing.assert_allclose(np.asarray(model2(x)), want, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_legacy_functional_nested_model(tmp_path, rng):
+    """Functional graph embedding a nested Functional 'Model' layer with
+    Keras-2 inbound_nodes and flat [name, 0, 0] input/output_layers."""
+    from inaspeechsegmenter_tpu.models.keras_h5 import ImportedModel
+
+    wi = rng.standard_normal((3, 4)).astype(np.float32)
+    bi = rng.standard_normal(4).astype(np.float32)
+    wo = rng.standard_normal((4, 2)).astype(np.float32)
+    bo = rng.standard_normal(2).astype(np.float32)
+    inner = {"class_name": "Model", "config": {
+        "name": "block",
+        "layers": [
+            {"class_name": "InputLayer", "name": "bin",
+             "config": {"name": "bin", "batch_input_shape": [None, 3]},
+             "inbound_nodes": []},
+            {"class_name": "Dense", "name": "bd",
+             "config": {"name": "bd", "units": 4, "activation": "relu",
+                        "use_bias": True},
+             "inbound_nodes": [[["bin", 0, 0, {}]]]},
+        ],
+        "input_layers": ["bin", 0, 0],
+        "output_layers": ["bd", 0, 0]}}
+    cfg = {"class_name": "Model", "config": {
+        "name": "top",
+        "layers": [
+            {"class_name": "InputLayer", "name": "x",
+             "config": {"name": "x", "batch_input_shape": [None, 3]},
+             "inbound_nodes": []},
+            dict(inner, name="block",
+                 inbound_nodes=[[["x", 0, 0, {}]]]),
+            {"class_name": "Dense", "name": "out",
+             "config": {"name": "out", "units": 2, "activation": "linear",
+                        "use_bias": True},
+             "inbound_nodes": [[["block", 0, 0, {}]]]},
+        ],
+        "input_layers": ["x", 0, 0],
+        "output_layers": ["out", 0, 0]}}
+    p = str(tmp_path / "legacy_func_nested.hdf5")
+    _write_legacy_h5(p, cfg, {
+        "block": [("bd/kernel:0", wi), ("bd/bias:0", bi)],
+        "out": [("out/kernel:0", wo), ("out/bias:0", bo)]})
+    model = ImportedModel.from_h5(p)
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    want = np.maximum(x @ wi + bi, 0) @ wo + bo
+    np.testing.assert_allclose(np.asarray(model(x)), want, rtol=1e-5,
+                               atol=1e-6)

@@ -37,6 +37,7 @@ def test_kernel_matches_jnp_real(frontends, musanmix_sig):
     np.testing.assert_allclose(l2[finl], l1[finl], rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_kernel_native_on_tpu():
     """Native (non-interpret) Mosaic compile + parity, on real TPU only.
 

@@ -19,6 +19,7 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_engine_matches_single(seg, media_dir):
     from inaspeechsegmenter_tpu.parallel import ParallelEngine
 
@@ -36,6 +37,7 @@ def test_engine_matches_single(seg, media_dir):
         assert got == single, f
 
 
+@pytest.mark.slow
 def test_engine_batch_process(seg, media_dir, tmp_path):
     from inaspeechsegmenter_tpu.parallel import ParallelEngine
 

@@ -25,6 +25,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 tf = pytest.importorskip("tensorflow")
 
 from test_reference_e2e import (  # noqa: E402

@@ -168,6 +168,7 @@ def test_no_ffmpeg_restrictions(seg_smn, media_dir):
         seg_smn("http://example.com/a.wav")
 
 
+@pytest.mark.slow
 def test_streaming_equals_fused(seg_smn, media_dir, tmp_path, monkeypatch):
     """The streaming per-chunk path returns labels identical to the fused
     whole-file program, including replicate edges and padded buckets."""

@@ -112,3 +112,24 @@ def test_cepstra_parity(frontend, ref_sidekit, rng):
     ref_ceps, _, _, _ = ref_sidekit.mfcc(sig.astype(np.float32), get_mspec=True)
     assert ceps.shape == ref_ceps.shape
     np.testing.assert_allclose(ceps, ref_ceps, rtol=1e-2, atol=5e-3)
+
+
+def test_mfcc_convenience_parity(ref_sidekit, rng):
+    """Reference-signature `sidekit_mfcc.mfcc` convenience entry returns
+    [ceps, loge, spec, mspec] matching the reference function (reference
+    sidekit_mfcc.py:278-352), incl. non-default filter counts."""
+    from inaspeechsegmenter_tpu.sidekit_mfcc import mfcc
+
+    sig = (rng.standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    ours = mfcc(sig, get_spec=True, get_mspec=True)
+    ref = ref_sidekit.mfcc(sig, get_spec=True, get_mspec=True)
+    assert len(ours) == len(ref) == 4
+    for a, b in zip(ours, ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+    # non-default band/filter config exercises the generic fbank path
+    ours = mfcc(sig, lowfreq=50, maxfreq=7000, nlogfilt=30, nceps=10)
+    ref = ref_sidekit.mfcc(sig, lowfreq=50, maxfreq=7000, nlogfilt=30,
+                           nceps=10)
+    np.testing.assert_allclose(ours[0], ref[0], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(ours[1], ref[1], rtol=1e-6, atol=1e-6)

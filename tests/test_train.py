@@ -54,6 +54,7 @@ def test_overfit_tiny():
     assert acc > 0.9, acc
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path):
     """save/restore round-trips (params, opt_state): a resumed trainer takes
     bit-identical steps to an uninterrupted one."""

@@ -175,3 +175,38 @@ def test_sharded_extractor_matches_single(vfs, monkeypatch):
         # differently than the single-device one — small float drift on a
         # random-weight net with |emb| ~ 40 is expected
         np.testing.assert_allclose(xa, xb, rtol=1e-4, atol=1e-3)
+
+
+def test_speech_only_extraction_output_identical(vfs, monkeypatch):
+    """Skipping non-speech-midpoint windows before the ResNet (the round-3
+    VFS optimization) is output-identical after apply_vad: such windows can
+    be neither retained (midpoint test fails) nor back-filled (the pool is
+    midpoint-in-speech only, reference vbx_segmenter.py:129-145)."""
+    rng = np.random.default_rng(21)
+    fea = rng.standard_normal((1200, 64)).astype(np.float32)
+    # speech covers ~the middle third of the 12 s file
+    tl = SpeechTimeline([(3.5, 8.25)])
+    monkeypatch.setenv("ISS_XVEC_SPEECH_ONLY", "0")
+    xv_all = vfs.xvector_model("b", fea, 12.0, timeline=tl)
+    monkeypatch.setenv("ISS_XVEC_SPEECH_ONLY", "1")
+    xv_sp = vfs.xvector_model("b", fea, 12.0, timeline=tl)
+    # the filter really skipped work
+    assert 0 < len(xv_sp) < len(xv_all)
+    kept_all = vfs.apply_vad(list(xv_all), tl)
+    kept_sp = vfs.apply_vad(list(xv_sp), tl)
+    assert len(kept_all) == len(kept_sp) > 0
+    for (ka, sa, xa), (kb, sb, xb) in zip(kept_all, kept_sp):
+        assert ka == kb and sa == sb
+        # different window counts compile different batch shapes; per-sample
+        # math is identical up to XLA scheduling/reassociation noise
+        np.testing.assert_allclose(xa, xb, rtol=1e-5, atol=1e-5)
+
+
+def test_vfs_speech_only_end_to_end(vfs, media_dir, monkeypatch):
+    """Full VFS scores are byte-identical with and without the speech-only
+    window filter."""
+    monkeypatch.setenv("ISS_XVEC_SPEECH_ONLY", "0")
+    ref = vfs(f"{media_dir}/lamartine.wav")
+    monkeypatch.setenv("ISS_XVEC_SPEECH_ONLY", "1")
+    ours = vfs(f"{media_dir}/lamartine.wav")
+    assert ours == ref
