@@ -21,6 +21,11 @@ def main(argv=None):
     parser.add_argument('--gd_model_criteria', default='bgc',
                         choices=['bgc', 'vfp'],
                         help='VFS gender-detection model criteria.')
+    parser.add_argument('--lease_timeout', type=float, default=30.0,
+                        help='Seconds per job-server socket op before the '
+                             'worker retries and then exits cleanly.')
+    parser.add_argument('--lease_reconnect', type=int, default=2,
+                        help='Fresh-connection retries per lease call.')
     args = parser.parse_args(argv)
 
     if args.ffmpeg_binary.lower() == 'none' or args.ffmpeg_binary == '':
@@ -45,7 +50,8 @@ def main(argv=None):
             from inaspeechsegmenter_tpu.parallel import ParallelEngine
 
             worker = ParallelEngine(worker)
-    client_work_loop(args.uri, worker)
+    client_work_loop(args.uri, worker, timeout=args.lease_timeout,
+                     reconnect=args.lease_reconnect)
 
 
 if __name__ == '__main__':

@@ -1,0 +1,131 @@
+"""VFS (voice femininity scoring) pipeline benchmark on 1 chip.
+
+Measures the full `VoiceFemininityScoring.__call__` wall time on a long
+synthetic broadcast-style file (decode -> VAD -> VBx features -> batched
+ResNet101 x-vectors -> MLP), plus:
+
+* A/B of the round-3 speech-only window filter (`ISS_XVEC_SPEECH_ONLY`),
+  interleaved in one process (the tunneled link drifts between runs);
+* the two-file `batch_score` prefetch overlap vs 2x single-file.
+
+Weights: deterministic synthetic stand-ins for the CNN/MLP plus a
+random-init FULL ResNet101 (the real x-vector architecture — compute cost
+is identical to the released checkpoint).  Prints one JSON line per
+metric.
+
+Usage: python tools/bench_vfs.py  [ISS_BENCH_VFS_SECONDS=1200]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from inaspeechsegmenter_tpu.models.synthetic import ensure_synthetic_env
+
+    ensure_synthetic_env(size="full")
+
+    from bench import synth_audio
+    from inaspeechsegmenter_tpu.audio import write_wav
+    from inaspeechsegmenter_tpu.models.resnet import ResNet101XVector
+    from inaspeechsegmenter_tpu.vfs import VoiceFemininityScoring
+
+    seconds = int(os.environ.get("ISS_BENCH_VFS_SECONDS", "1200"))
+    net = ResNet101XVector()
+    params = net.init_params(seed=11)
+    vfs = VoiceFemininityScoring(gd_model_criteria="vfp", ffmpeg=None,
+                                 allow_download=False,
+                                 xvector_net=net, xvector_params=params)
+
+    tmp = tempfile.mkdtemp(prefix="iss_vfs_bench_")
+    sig = np.clip(np.rint(synth_audio(seconds, seed=3) * 32768.0),
+                  -32768, 32767).astype(np.int16)
+    path = os.path.join(tmp, "long.wav")
+    write_wav(path, sig, 16000)
+    halves = []
+    for i, half in enumerate(np.split(sig, 2)):
+        p = os.path.join(tmp, f"half{i}.wav")
+        write_wav(p, half, 16000)
+        halves.append(p)
+
+    def run(speech_only):
+        os.environ["ISS_XVEC_SPEECH_ONLY"] = "1" if speech_only else "0"
+        t0 = time.perf_counter()
+        score, dur, n = vfs(path)
+        return time.perf_counter() - t0, (score, dur, n)
+
+    # warm both variants (compiles), then interleave A/B best-of-3
+    run(True)
+    run(False)
+    t_on, r_on = [], None
+    t_off, r_off = [], None
+    for _ in range(3):
+        t, r_on = run(True)
+        t_on.append(t)
+        t, r_off = run(False)
+        t_off.append(t)
+    assert r_on == r_off, (r_on, r_off)  # output-identical filter
+    best_on, best_off = min(t_on), min(t_off)
+    frac_speech = r_on[1] / seconds
+    print(json.dumps({
+        "metric": "vfs_realtime_factor_1chip",
+        "value": round(seconds / best_on, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(seconds / best_on / 500.0, 3),
+        "speech_fraction": round(frac_speech, 3),
+        "n_xvectors": r_on[2],
+    }))
+    print(json.dumps({
+        "metric": "vfs_speech_only_speedup",
+        "value": round(best_off / best_on, 2),
+        "unit": "x",
+        "embed_all_s": round(best_off, 2),
+        "speech_only_s": round(best_on, 2),
+    }))
+
+    # batch overlap: decode+VAD of file 2 behind ResNet of file 1
+    os.environ["ISS_XVEC_SPEECH_ONLY"] = "1"
+    outs = [os.path.join(tmp, f"b{i}.csv") for i in range(2)]
+    singles = []
+    for h in halves:  # warm the half-length buckets
+        t0 = time.perf_counter()
+        vfs(h)
+        singles.append(time.perf_counter() - t0)
+    t_sum = None
+    t_batch = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for h in halves:
+            vfs(h)
+        t_sum = min(t_sum or 1e9, time.perf_counter() - t0)
+        for o in outs:
+            if os.path.exists(o):
+                os.remove(o)
+        os.environ["ISS_PREFETCH"] = "2"
+        t0 = time.perf_counter()
+        dur, n_ok, _, _ = vfs.batch_score(halves, outs)
+        assert n_ok == 2
+        t_batch = min(t_batch or 1e9, time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "vfs_batch_prefetch_speedup",
+        "value": round(t_sum / t_batch, 2),
+        "unit": "x",
+        "serial_2files_s": round(t_sum, 2),
+        "batch_2files_s": round(t_batch, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
