@@ -66,12 +66,14 @@ def main():
         score, dur, n = vfs(path)
         return time.perf_counter() - t0, (score, dur, n)
 
-    # warm both variants (compiles), then interleave A/B best-of-3
+    # warm both variants (compiles), then interleave A/B best-of-5 — the
+    # tunneled link's throughput swings ~2x between minutes, so best-of
+    # captures pipeline capability rather than link weather
     run(True)
     run(False)
     t_on, r_on = [], None
     t_off, r_off = [], None
-    for _ in range(3):
+    for _ in range(5):
         t, r_on = run(True)
         t_on.append(t)
         t, r_off = run(False)
@@ -95,14 +97,18 @@ def main():
         "speech_only_s": round(best_on, 2),
     }))
 
-    # batch overlap: decode+VAD of file 2 behind ResNet of file 1
+    # batch overlap: decode+VAD of file 2 behind ResNet of file 1.  Uses
+    # batch_score's own core-count-aware prefetch depth: on 1-core hosts
+    # (like the tunneled bench host, where the device client busy-spins and
+    # starves producer threads) the default is depth 1 — forcing 2 there
+    # measured 0.86x, i.e. net-negative, which is exactly why the default
+    # is core-count-aware.  Multi-core production hosts get depth 2.
     os.environ["ISS_XVEC_SPEECH_ONLY"] = "1"
+    os.environ.pop("ISS_PREFETCH", None)
+    depth = "2" if (os.cpu_count() or 1) >= 4 else "1"
     outs = [os.path.join(tmp, f"b{i}.csv") for i in range(2)]
-    singles = []
     for h in halves:  # warm the half-length buckets
-        t0 = time.perf_counter()
         vfs(h)
-        singles.append(time.perf_counter() - t0)
     t_sum = None
     t_batch = None
     for _ in range(3):
@@ -113,7 +119,6 @@ def main():
         for o in outs:
             if os.path.exists(o):
                 os.remove(o)
-        os.environ["ISS_PREFETCH"] = "2"
         t0 = time.perf_counter()
         dur, n_ok, _, _ = vfs.batch_score(halves, outs)
         assert n_ok == 2
@@ -122,6 +127,7 @@ def main():
         "metric": "vfs_batch_prefetch_speedup",
         "value": round(t_sum / t_batch, 2),
         "unit": "x",
+        "prefetch_depth": int(depth),
         "serial_2files_s": round(t_sum, 2),
         "batch_2files_s": round(t_batch, 2),
     }))
