@@ -170,12 +170,13 @@ def _load_weight_arrays(h5file):
                 by_sub = {}
                 for wn, a in zip(wnames, arrays):
                     parts = wn.split("/")
-                    # both 'inner_dense/kernel:0' (relative) and
-                    # 'nested_model/inner_dense/kernel:0' (prefixed) occur
-                    # across Keras vintages
-                    if parts[0] == lname and len(parts) > 2:
-                        parts = parts[1:]
-                    by_sub.setdefault(parts[0], []).append(a)
+                    # the graph layer that owns a weight is the LAST path
+                    # component before the weight leaf ('kernel:0'), which
+                    # handles relative ('inner_dense/kernel:0'), prefixed
+                    # ('nested/inner_dense/kernel:0') and arbitrarily deep
+                    # nesting ('nested/inner/dense/kernel:0') uniformly
+                    if len(parts) >= 2:
+                        by_sub.setdefault(parts[-2], []).append(a)
                 for seg, arrs in by_sub.items():
                     if seg != lname:
                         out.setdefault(seg, arrs)
@@ -190,9 +191,15 @@ def _flatten_nested(entries):
     model's internal InputLayers become identity pass-throughs wired to the
     parent inbound; later references to the nested model's name are renamed
     to its output layer.
+
+    Keras scopes layer names per model, so an inner layer may legally share
+    a name with an outer layer (even one appearing AFTER the nested model in
+    the config); flattening collapses the namespaces, so any such collision
+    raises KerasImportError instead of silently merging weights/graph edges.
     """
     out = []
     rename = {}
+    outer_names = {e["name"] for e in entries}
 
     def resolve(names):
         return [rename.get(n, n) for n in names]
@@ -213,7 +220,11 @@ def _flatten_nested(entries):
             raise KerasImportError(
                 f"nested model {e['name']!r} has {len(sub_in)} inputs; "
                 "only single-input nested models are supported")
-        seen = {x["name"] for x in out}
+        # collision set: every outer layer name (even ones appearing after
+        # this nested model — including the nested model's own name, whose
+        # h5 weight group holds ALL sub-layer arrays and would shadow a
+        # same-named sub-layer's weights) plus everything already emitted
+        seen = outer_names | {x["name"] for x in out}
         parent_in = e["inbound"]
         for j, se in enumerate(sub_entries):
             if se["name"] in seen:

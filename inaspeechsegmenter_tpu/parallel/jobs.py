@@ -21,6 +21,7 @@ reference's tests exercise GenderJobServer directly).
 from __future__ import annotations
 
 import json
+import os
 import socket
 import socketserver
 import threading
@@ -80,14 +81,35 @@ class JobServer:
     # ------------------------------------------------------------------
     def serve(self, host="0.0.0.0", port=0, stop_after_dispatch=False):
         """Serve over TCP; returns (server, uri). Call server.shutdown() or
-        use stop_after_dispatch to end the loop."""
+        use stop_after_dispatch to end the loop.
+
+        At-most-once execution for retried requests: clients stamp each
+        request with a per-client monotonically increasing ``id``; the
+        server caches the last response per client and replays it when the
+        same id arrives again (a reconnect-resend after a lost reply).
+        Without this, a timed-out ``get_njobs`` whose reply was lost would
+        lease the NEXT batch on retry and silently orphan the first one.
+        """
         jobserver = self
+        replay_lock = threading.Lock()
+        replay = {}          # client -> (last_id, last_response_line)
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
                 for line in self.rfile:
+                    req_id = None
+                    client = None
                     try:
                         req = json.loads(line)
+                        req_id = req.get("id")
+                        client = req.get("client")
+                        if req_id is not None and client is not None:
+                            with replay_lock:
+                                last = replay.get(client)
+                            if last is not None and last[0] == req_id:
+                                self.wfile.write(last[1])
+                                self.wfile.flush()
+                                continue
                         # explicit RPC surface only: everything else on the
                         # server object (serve, __init__, _lock, ...) must
                         # not be reachable from the network
@@ -102,7 +124,11 @@ class JobServer:
                         resp = {"result": result}
                     except Exception as exc:  # report errors to the client
                         resp = {"error": f"{type(exc).__name__}: {exc}"}
-                    self.wfile.write((json.dumps(resp) + "\n").encode())
+                    payload = (json.dumps(resp) + "\n").encode()
+                    if req_id is not None and client is not None:
+                        with replay_lock:
+                            replay[client] = (req_id, payload)
+                    self.wfile.write(payload)
                     self.wfile.flush()
                     if stop_after_dispatch and not jobserver.has_more_jobs():
                         threading.Thread(target=srv.shutdown,
@@ -128,13 +154,15 @@ class JobClient:
     fresh connection up to ``reconnect`` times, so a server that dies
     mid-read surfaces a prompt ``ConnectionError`` instead of blocking a
     worker forever in ``readline()`` (the reference's Pyro4 proxy fails
-    fast the same way).  A retried lease MAY double-lease jobs if the
-    server processed the lost reply — harmless under the farm's
-    idempotent design (workers run with ``skipifexist=True``; outputs are
-    deterministic).
+    fast the same way).  Retried requests carry the same per-client
+    request id, which the server deduplicates by replaying its cached
+    response — so a lease whose reply was lost is re-delivered rather
+    than orphaned (and a resent ``set_jobs`` is not executed twice).
     """
 
     def __init__(self, uri, timeout=30.0, reconnect=2):
+        import socket as _socket
+
         assert uri.startswith("tcp://"), uri
         self.uri = uri
         host, port = uri[len("tcp://"):].rsplit(":", 1)
@@ -143,6 +171,9 @@ class JobClient:
         self.reconnect = reconnect
         self.sock = None
         self.rfile = None
+        self._client = "%s-%d-%d" % (_socket.gethostname(), os.getpid(),
+                                     id(self))
+        self._seq = 0
         self._connect()
 
     def _connect(self):
@@ -163,8 +194,10 @@ class JobClient:
     def _call(self, method, *args, **kwargs):
         import time
 
+        self._seq += 1
         payload = (json.dumps({"method": method, "args": list(args),
-                               "kwargs": kwargs}) + "\n").encode()
+                               "kwargs": kwargs, "client": self._client,
+                               "id": self._seq}) + "\n").encode()
         last = None
         for attempt in range(self.reconnect + 1):
             try:

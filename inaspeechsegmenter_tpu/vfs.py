@@ -339,6 +339,13 @@ class VoiceFemininityScoring:
         x_vectors = self.xvector_model(basename, fea, duration,
                                        timeline=timeline)
         x_vectors = self.apply_vad(x_vectors, timeline)
+        if not x_vectors:
+            # a speech sliver can leave no window midpoint in speech (then
+            # the back-fill pool is empty too): score is undefined, same
+            # contract as the no-speech case.  The reference crashes here
+            # (ZeroDivisionError in get_femininity_score,
+            # vbx_segmenter.py:55-61) — deliberate deviation.
+            return None, speech_duration, 0
 
         x = np.asarray([x for _, _, x in x_vectors])
         pred = np.asarray(self.gender_detection_mlp_model(
@@ -409,18 +416,30 @@ class VoiceFemininityScoring:
                 lmsg.append(msg)
                 if prepared is not None:
                     b = time.time()
-                    try:
-                        score, speech_dur, n_vec = \
-                            self._score_prepared(prepared)
+                    # the scoring phase gets the same nbtry/trydelay
+                    # budget as _prepare (the reference retried the whole
+                    # file, segmenter.py:360-368): transient device/link
+                    # errors during the ResNet/MLP must not permanently
+                    # fail a corpus file
+                    result = err = None
+                    for itry in range(nbtry):
+                        try:
+                            result = self._score_prepared(prepared)
+                            break
+                        except Exception:
+                            err = sys.exc_info()[0]
+                            if itry != nbtry - 1:
+                                time.sleep(random.random() * trydelay)
+                    if result is None:
+                        lmsg[-1] = (dst, 2, "error: " + str(err))
+                    else:
+                        score, speech_dur, n_vec = result
                         with open(dst, "w") as fh:
                             fh.write("score\tspeech_duration\tnb_vectors\n")
                             fh.write("%s\t%s\t%d\n" % (
                                 "" if score is None else repr(float(score)),
                                 repr(float(speech_dur)), n_vec))
                         lmsg[-1] = (dst, 0, "ok " + str(time.time() - b))
-                    except Exception:
-                        lmsg[-1] = (dst, 2,
-                                    "error: " + str(sys.exc_info()[0]))
                 if verbose:
                     print("%d/%d" % (len(lmsg), len(linput)), [lmsg[-1]])
         dur = time.time() - t0

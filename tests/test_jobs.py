@@ -206,3 +206,41 @@ def test_work_loop_exits_when_server_killed(jobs_csv, tmp_path):
         if proc.poll() is None:
             proc.send_signal(signal.SIGKILL)
             proc.wait()
+
+
+def test_duplicate_request_replayed_not_reexecuted(jobs_csv):
+    """At-most-once: a resent request (same client+id — the reconnect path
+    after a lost reply) gets the server's cached response replayed instead
+    of leasing the NEXT batch and orphaning the first."""
+    import json
+    import socket
+
+    srv = JobServer(jobs_csv)
+    tcp, uri = srv.serve(host="127.0.0.1", port=0)
+    try:
+        host, port = uri.split("//")[1].split(":")
+        req = json.dumps({"method": "get_njobs", "args": ["w"],
+                          "kwargs": {"nbjobs": 1}, "client": "c1",
+                          "id": 7}) + "\n"
+        with socket.create_connection((host, int(port))) as s:
+            f = s.makefile("rw")
+            f.write(req)
+            f.flush()
+            first = json.loads(f.readline())
+        # "reconnect" and resend the exact same request
+        with socket.create_connection((host, int(port))) as s:
+            f = s.makefile("rw")
+            f.write(req)
+            f.flush()
+            second = json.loads(f.readline())
+            assert second == first          # replayed, not re-leased
+            # a NEW id leases the next batch
+            f.write(json.dumps({"method": "get_njobs", "args": ["w"],
+                                "kwargs": {"nbjobs": 1}, "client": "c1",
+                                "id": 8}) + "\n")
+            f.flush()
+            third = json.loads(f.readline())
+            assert third["result"] != first["result"]
+    finally:
+        tcp.shutdown()
+        tcp.server_close()

@@ -286,3 +286,70 @@ def test_legacy_functional_nested_model(tmp_path, rng):
     want = np.maximum(x @ wi + bi, 0) @ wo + bo
     np.testing.assert_allclose(np.asarray(model(x)), want, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_legacy_doubly_nested_sequential(tmp_path, rng):
+    """Two-level nesting: Sequential('outer') > Sequential('feat') >
+    Sequential('inner') > Dense('din'); h5 stores all arrays under the
+    top-level group 'feat' with deep weight paths — the loader keys each
+    array by the owning LEAF layer name."""
+    from inaspeechsegmenter_tpu.models.keras_h5 import ImportedModel
+
+    wi = rng.standard_normal((6, 5)).astype(np.float32)
+    bi = rng.standard_normal(5).astype(np.float32)
+    wo = rng.standard_normal((5, 2)).astype(np.float32)
+    bo = rng.standard_normal(2).astype(np.float32)
+    innermost = {"class_name": "Sequential", "config": {
+        "name": "inner", "layers": [
+            {"class_name": "Dense", "config": {
+                "name": "din", "units": 5, "activation": "tanh",
+                "use_bias": True, "batch_input_shape": [None, 6]}},
+        ]}}
+    mid = {"class_name": "Sequential", "config": {
+        "name": "feat", "layers": [innermost]}}
+    cfg = {"class_name": "Sequential", "config": {
+        "name": "outer", "layers": [
+            mid,
+            {"class_name": "Dense", "config": {
+                "name": "dout", "units": 2, "activation": "linear",
+                "use_bias": True}},
+        ]}}
+    p = str(tmp_path / "legacy_deep.hdf5")
+    _write_legacy_h5(p, cfg, {
+        "feat": [("inner/din/kernel:0", wi), ("inner/din/bias:0", bi)],
+        "dout": [("dout/kernel:0", wo), ("dout/bias:0", bo)]})
+    model = ImportedModel.from_h5(p)
+    x = rng.standard_normal((3, 6)).astype(np.float32)
+    want = np.tanh(x @ wi + bi) @ wo + bo
+    np.testing.assert_allclose(np.asarray(model(x)), want, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_nested_name_collision_raises(tmp_path, rng):
+    """An inner layer sharing a name with an outer layer that appears
+    AFTER the nested model (legal in Keras's per-model namespaces) must
+    raise KerasImportError, not silently merge weights."""
+    from inaspeechsegmenter_tpu.models.keras_h5 import (ImportedModel,
+                                                        KerasImportError)
+
+    w = rng.standard_normal((4, 4)).astype(np.float32)
+    b = np.zeros(4, np.float32)
+    inner = {"class_name": "Sequential", "config": {
+        "name": "feat", "layers": [
+            {"class_name": "Dense", "config": {
+                "name": "dense", "units": 4, "activation": "relu",
+                "use_bias": True, "batch_input_shape": [None, 4]}},
+        ]}}
+    cfg = {"class_name": "Sequential", "config": {
+        "name": "outer", "layers": [
+            inner,
+            {"class_name": "Dense", "config": {
+                "name": "dense", "units": 4, "activation": "linear",
+                "use_bias": True}},
+        ]}}
+    p = str(tmp_path / "legacy_collide.hdf5")
+    _write_legacy_h5(p, cfg, {
+        "feat": [("dense/kernel:0", w), ("dense/bias:0", b)],
+        "dense": [("dense/kernel:0", w), ("dense/bias:0", b)]})
+    with pytest.raises(KerasImportError, match="collision"):
+        ImportedModel.from_h5(p)

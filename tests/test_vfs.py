@@ -210,3 +210,16 @@ def test_vfs_speech_only_end_to_end(vfs, media_dir, monkeypatch):
     monkeypatch.setenv("ISS_XVEC_SPEECH_ONLY", "1")
     ours = vfs(f"{media_dir}/lamartine.wav")
     assert ours == ref
+
+
+def test_score_prepared_empty_after_apply_vad(vfs):
+    """A speech sliver can leave zero window midpoints in speech: score is
+    None (like the no-speech case) rather than the reference's
+    ZeroDivisionError (vbx_segmenter.py:55-61 — documented deviation)."""
+    rng = np.random.default_rng(2)
+    fea = rng.standard_normal((1200, 64)).astype(np.float32)
+    sliver = SpeechTimeline([(11.9, 12.0)])
+    score, dur, n = vfs._score_prepared(("b", fea, sliver, 12.0,
+                                         sliver.total_duration()))
+    assert score is None and n == 0
+    assert dur == sliver.total_duration() > 0
