@@ -33,6 +33,9 @@ def main(argv=None):
               'sampled at 16kHz.')
         args.ffmpeg_binary = None
 
+    from inaspeechsegmenter_tpu.utils.env import apply_platform_env
+    apply_platform_env()
+
     from inaspeechsegmenter_tpu.parallel import client_work_loop
 
     if args.vfs:

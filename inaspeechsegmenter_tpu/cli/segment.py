@@ -71,6 +71,8 @@ def main(argv=None):
     assert os.access(odir, os.W_OK), 'Directory %s is not writable!' % odir
 
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
+    from inaspeechsegmenter_tpu.utils.env import apply_platform_env
+    apply_platform_env()
     enable_compilation_cache()
 
     from inaspeechsegmenter_tpu import Segmenter

@@ -28,6 +28,15 @@ import pytest  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent compilation cache: the suite's cost is dominated by XLA
+# compiles of the big fused/vmapped programs, which are identical across
+# runs — caching them makes iteration runs several times faster.
+# ISS_TEST_JAX_CACHE=0 disables (e.g. to measure cold-compile coverage).
+if os.environ.get("ISS_TEST_JAX_CACHE", "1") != "0":
+    from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
 REF_DIR = "/root/reference/inaSpeechSegmenter"
 MEDIA_DIR = "/root/reference/media"
 

@@ -48,6 +48,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
+from inaspeechsegmenter_tpu.utils.env import apply_platform_env  # noqa: E402
+
+# honor an explicit JAX_PLATFORMS (e.g. cpu) even on hosts whose site
+# hooks force-register an accelerator plugin
+apply_platform_env()
+
 HDF5_MODELS = [
     "keras_speech_music_cnn.hdf5",
     "keras_speech_music_noise_cnn.hdf5",
