@@ -1,0 +1,88 @@
+"""CLI: voice femininity scoring to csv.
+
+Framework extension: the reference exposes VoiceFemininityScoring only as
+a Python API (reference vbx_segmenter.py:92-202; its CLI scripts cover
+segmentation only).  This command gives the VFS pipeline the same shell
+surface as `ina_speech_segmenter` — glob inputs, output directory, retry
+and resume semantics — writing one tab-separated csv per input with
+columns `score / speech_duration / nb_vectors`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import warnings
+
+description = (
+    "Score voice femininity of media files: x-vector speaker embeddings "
+    "(ResNet101) over detected speech, scored by the interspeech2023 MLP. "
+    "Writes one tab-separated csv per input (score, speech_duration, "
+    "nb_vectors; score is empty when no speech is detected). TPU-native "
+    "engine with the inaSpeechSegmenter command-line conventions."
+)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument('-i', '--input', nargs='+', required=True,
+                        help='Input media to analyse: full path(s) or glob '
+                             'pattern(s).')
+    parser.add_argument('-o', '--output_directory', required=True,
+                        help='Directory used to store score csvs (same base '
+                             'name as input, csv extension).')
+    parser.add_argument('-c', '--gd_model_criteria', default='bgc',
+                        choices=['bgc', 'vfp'],
+                        help='Gender-detection model criteria: bgc = '
+                             'interspeech2023_all (VAD overlap 0.7), vfp = '
+                             'interspeech2023_cvfr (0.62).')
+    parser.add_argument('-b', '--ffmpeg_binary', default='ffmpeg',
+                        help="Custom ffmpeg binary; 'none' to disable "
+                             '(inputs must then be 16 kHz WAV).')
+    parser.add_argument('--skipifexist', action='store_true',
+                        help='Skip inputs whose output csv already exists '
+                             '(idempotent corpus reruns).')
+    parser.add_argument('--nbtry', type=int, default=1,
+                        help='Attempts per file before reporting an error.')
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.ffmpeg_binary.lower() == 'none' or args.ffmpeg_binary == '':
+        print('Disabling ffmpeg. Make sure your audio files are already '
+              'sampled at 16kHz.')
+        args.ffmpeg_binary = None
+
+    input_files = []
+    for e in args.input:
+        input_files += glob.glob(e)
+    assert len(input_files) > 0, \
+        'No existing media selected for analysis! Bad values provided to ' \
+        '-i (%s)' % args.input
+
+    odir = args.output_directory.strip(' \t\n\r').rstrip('/')
+    assert os.access(odir, os.W_OK), 'Directory %s is not writable!' % odir
+
+    from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
+    from inaspeechsegmenter_tpu.utils.env import apply_platform_env
+    apply_platform_env()
+    enable_compilation_cache()
+
+    from inaspeechsegmenter_tpu.vfs import VoiceFemininityScoring
+
+    vfs = VoiceFemininityScoring(gd_model_criteria=args.gd_model_criteria,
+                                 ffmpeg=args.ffmpeg_binary)
+
+    base = [os.path.splitext(os.path.basename(e))[0] for e in input_files]
+    output_files = [os.path.join(odir, e + '.csv') for e in base]
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        vfs.batch_score(input_files, output_files, verbose=True,
+                        skipifexist=args.skipifexist, nbtry=args.nbtry)
+
+
+if __name__ == '__main__':
+    main()

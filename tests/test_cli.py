@@ -45,6 +45,44 @@ def test_cli_parallel(synthetic_model_dir, media_dir, tmp_path):
         "labels\tstart\tstop\nnoEnergy\t0.0\t1.98\n"
 
 
+def test_cli_vfs(synthetic_model_dir, media_dir, tmp_path, monkeypatch):
+    """ina_speech_segmenter_vfs writes one score csv per input.
+
+    The synthetic model dir carries no x-vector weights, so inject a tiny
+    ResNet through the class symbol the CLI resolves at call time.
+    """
+    import functools
+
+    import inaspeechsegmenter_tpu.vfs as vfs_mod
+    from inaspeechsegmenter_tpu.models.resnet import ResNetXVector
+
+    net = ResNetXVector("bottleneck", (1, 1, 1, 1), 8, 64, 256)
+    monkeypatch.setattr(
+        vfs_mod, "VoiceFemininityScoring",
+        functools.partial(vfs_mod.VoiceFemininityScoring,
+                          allow_download=False, xvector_net=net,
+                          xvector_params=net.init_params(seed=7)))
+    from inaspeechsegmenter_tpu.cli.vfs import main
+
+    main(["-i", f"{media_dir}/silence2sec.wav", f"{media_dir}/lamartine.wav",
+          "-o", str(tmp_path), "-c", "vfp", "-b", "none"])
+    header, row = (tmp_path / "silence2sec.csv").read_text().splitlines()
+    assert header == "score\tspeech_duration\tnb_vectors"
+    assert row.split("\t") == ["", "0.0", "0"]      # silence: score None
+    header, row = (tmp_path / "lamartine.csv").read_text().splitlines()
+    score, dur, n = row.split("\t")
+    assert float(dur) >= 0.0 and int(n) >= 0
+    if score:
+        assert 0.0 <= float(score) <= 1.0
+
+
+def test_cli_vfs_missing_input(synthetic_model_dir, tmp_path):
+    from inaspeechsegmenter_tpu.cli.vfs import main
+
+    with pytest.raises(AssertionError, match="No existing media"):
+        main(["-i", "/nonexistent/*.wav", "-o", str(tmp_path), "-b", "none"])
+
+
 def test_setjobs_and_server_cli(tmp_path, capsys):
     import pandas as pd
 
