@@ -77,6 +77,8 @@ def _read_wav_stream(f, dtype, always_2d):
         if cid == b"fmt ":
             f.seek(offset)
             raw = f.read(size)
+            if len(raw) < 16:
+                raise WavFormatError("truncated fmt chunk")
             (audio_format, channels, samplerate, _byte_rate, block_align,
              bits) = struct.unpack("<HHIIHH", raw[:16])
             if audio_format == _WAVE_FORMAT_EXTENSIBLE and size >= 40:

@@ -51,7 +51,42 @@ def test_stereo(tmp_path, rng):
     np.testing.assert_allclose(out, sig, atol=0)
 
 
-def test_pcm24(tmp_path, rng):
+def test_malformed_inputs_raise_cleanly():
+    """Corrupt/truncated bytes raise WavFormatError, never crash or hang."""
+    import struct
+
+    import numpy as np
+
+    from inaspeechsegmenter_tpu.audio.wav import (WavFormatError, read_wav,
+                                                  write_wav)
+    import io
+
+    buf = io.BytesIO()
+    write_wav(buf, np.zeros(100, np.float32), 16000)
+    good = buf.getvalue()
+
+    for bad in [b"", b"RIFF", b"nope" + good[4:],
+                good[:8] + b"XXXX" + good[12:],          # not WAVE
+                good[:20],                               # truncated fmt
+                good[:12] + b"data" + struct.pack("<I", 4) + b"abcd"]:
+        try:
+            read_wav(bad)
+        except WavFormatError:
+            continue
+        raise AssertionError(f"no clean error for {bad[:16]!r}")
+
+    # unsupported format code
+    mutated = bytearray(good)
+    mutated[20:22] = struct.pack("<H", 0x0055)           # MP3-in-WAV
+    try:
+        read_wav(bytes(mutated))
+        raise AssertionError("format code 0x55 accepted")
+    except WavFormatError as e:
+        assert "0x55" in str(e)
+
+    # a data chunk truncated mid-frame still decodes whole frames
+    sig, sr = read_wav(good[:-3])
+    assert sr == 16000 and sig.shape == (98,)
     # hand-craft a PCM_24 file
     vals = np.array([0, 1, -1, 8388607, -8388608, 123456], dtype=np.int32)
     payload = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
