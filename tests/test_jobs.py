@@ -244,3 +244,31 @@ def test_duplicate_request_replayed_not_reexecuted(jobs_csv):
     finally:
         tcp.shutdown()
         tcp.server_close()
+
+
+def test_farm_vfs_worker(synthetic_model_dir, media_dir, tmp_path):
+    """The --vfs worker path over real TCP: a VoiceFemininityScoring worker
+    drains a lease queue through client_work_loop (its batch_process adapter
+    routes to batch_score) and writes score csvs."""
+    from inaspeechsegmenter_tpu.models.resnet import ResNetXVector
+    from inaspeechsegmenter_tpu.parallel.jobs import client_work_loop
+    from inaspeechsegmenter_tpu.vfs import VoiceFemininityScoring
+
+    out = tmp_path / "silence2sec.csv"
+    csv = tmp_path / "jobs.csv"
+    pd.DataFrame({"source_path": [f"{media_dir}/silence2sec.wav"],
+                  "dest_path": [str(out)]}).to_csv(csv, index=False)
+    srv = JobServer(str(csv))
+    tcp, uri = srv.serve(host="127.0.0.1", port=0)
+    try:
+        net = ResNetXVector("bottleneck", (1, 1, 1, 1), 8, 64, 256)
+        worker = VoiceFemininityScoring(
+            gd_model_criteria="bgc", allow_download=False, ffmpeg=None,
+            xvector_net=net, xvector_params=net.init_params(seed=3))
+        client_work_loop(uri, worker, hostname="vfs-w")
+    finally:
+        tcp.shutdown()
+        tcp.server_close()
+    header, row = out.read_text().splitlines()
+    assert header == "score\tspeech_duration\tnb_vectors"
+    assert row.split("\t") == ["", "0.0", "0"]
