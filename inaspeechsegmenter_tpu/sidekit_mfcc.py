@@ -34,6 +34,39 @@ def mel2hz(z, htk=True):
     raise NotImplementedError("only the HTK mel scale is used here")
 
 
+def pre_emphasis(input_sig, pre):
+    """First-order pre-emphasis filter (reference sidekit_mfcc.py:85-95):
+    each sample minus `pre` times the previous one, first sample kept."""
+    x = np.asarray(input_sig)
+    shifted = np.concatenate([x[..., :1], x[..., :-1]], axis=-1)
+    return x - shifted * pre
+
+
+def framing(sig, win_size, win_shift=1, context=(0, 0), pad='zeros'):
+    """Overlapping analysis frames with optional context padding
+    (reference sidekit_mfcc.py:98-116): mono input -> (n, win+context),
+    multi-channel -> (n, win+context, channels)."""
+    sig = np.asarray(sig)
+    mono = sig.ndim == 1
+    if mono:
+        sig = sig[:, None]
+    n = (sig.shape[0] - win_size) // win_shift + 1
+    mode = {"zeros": "constant", "edge": "edge"}[pad]
+    padded = np.pad(sig, (context,) + (sig.ndim - 1) * ((0, 0),), mode)
+    view = np.lib.stride_tricks.sliding_window_view(
+        padded, win_size + sum(context), axis=0)
+    frames = np.moveaxis(view, -1, 1)[::win_shift][:n]
+    return frames[:, :, 0] if mono else frames
+
+
+def trfbank(fs, nfft, lowfreq, maxfreq, nlinfilt, nlogfilt, midfreq=1000):
+    """SIDEKIT triangular filterbank -> (fbank, edge_frequencies)
+    (reference sidekit_mfcc.py:118-197; see dsp/mel.py for the quirks
+    reproduced)."""
+    return htk_triangular_fbank(fs, nfft, lowfreq, maxfreq,
+                                nlinfilt, nlogfilt, midfreq)
+
+
 def power_spectrum(input_sig, fs=8000, win_time=0.025, shift=0.01,
                    prefac=0.97):
     """(spec, log_energy) with the reference's exact frame semantics
