@@ -81,7 +81,7 @@ def _read_wav_stream(f, dtype, always_2d):
                 raise WavFormatError("truncated fmt chunk")
             (audio_format, channels, samplerate, _byte_rate, block_align,
              bits) = struct.unpack("<HHIIHH", raw[:16])
-            if audio_format == _WAVE_FORMAT_EXTENSIBLE and size >= 40:
+            if audio_format == _WAVE_FORMAT_EXTENSIBLE and len(raw) >= 26:
                 # real format is the first 2 bytes of the SubFormat GUID
                 audio_format = struct.unpack("<H", raw[24:26])[0]
             fmt = (audio_format, channels, samplerate, block_align, bits)

@@ -33,8 +33,12 @@ def main(argv=None):
               'sampled at 16kHz.')
         args.ffmpeg_binary = None
 
+    from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
     from inaspeechsegmenter_tpu.utils.env import apply_platform_env
     apply_platform_env()
+    # restarted workers (per lease batch / after a crash) warm-start from
+    # the persistent cache instead of repaying 20-40 s per bucket compile
+    enable_compilation_cache()
 
     from inaspeechsegmenter_tpu.parallel import client_work_loop
 

@@ -10,7 +10,6 @@ binary ('none' to disable), -e export format, -r energy ratio.  Adds
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import warnings
 
@@ -51,29 +50,17 @@ def build_parser():
 
 
 def main(argv=None):
+    from inaspeechsegmenter_tpu.cli._common import (bootstrap_runtime,
+                                                    check_outdir,
+                                                    expand_inputs,
+                                                    output_paths,
+                                                    resolve_ffmpeg)
+
     args = build_parser().parse_args(argv)
-
-    if args.ffmpeg_binary.lower() == 'none' or args.ffmpeg_binary == '':
-        print('Disabling ffmpeg. Make sure your audio files are already '
-              'sampled at 16kHz.')
-        args.ffmpeg_binary = None
-
-    input_files = []
-    for e in args.input:
-        if e.startswith('http'):
-            input_files += [e]
-        else:
-            input_files += glob.glob(e)
-    assert len(input_files) > 0, \
-        'No existing media selected for analysis! Bad values provided to -i (%s)' % args.input
-
-    odir = args.output_directory.strip(' \t\n\r').rstrip('/')
-    assert os.access(odir, os.W_OK), 'Directory %s is not writable!' % odir
-
-    from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
-    from inaspeechsegmenter_tpu.utils.env import apply_platform_env
-    apply_platform_env()
-    enable_compilation_cache()
+    args.ffmpeg_binary = resolve_ffmpeg(args.ffmpeg_binary)
+    input_files = expand_inputs(args.input, allow_urls=True)
+    odir = check_outdir(args.output_directory)
+    bootstrap_runtime()
 
     from inaspeechsegmenter_tpu import Segmenter
 
@@ -94,9 +81,7 @@ def main(argv=None):
 
     with warnings.catch_warnings(), trace_cm:
         warnings.simplefilter('ignore')
-        base = [os.path.splitext(os.path.basename(e))[0] for e in input_files]
-        output_files = [os.path.join(odir, e + '.' + args.export_format)
-                        for e in base]
+        output_files = output_paths(input_files, odir, args.export_format)
         if args.parallel:
             from inaspeechsegmenter_tpu.parallel import ParallelEngine
 

@@ -47,8 +47,7 @@ def framing(sig, win_size, win_shift=1, context=(0, 0), pad='zeros'):
     (reference sidekit_mfcc.py:98-116): mono input -> (n, win+context),
     multi-channel -> (n, win+context, channels)."""
     sig = np.asarray(sig)
-    mono = sig.ndim == 1
-    if mono:
+    if sig.ndim == 1:
         sig = sig[:, None]
     n = (sig.shape[0] - win_size) // win_shift + 1
     mode = {"zeros": "constant", "edge": "edge"}[pad]
@@ -56,7 +55,9 @@ def framing(sig, win_size, win_shift=1, context=(0, 0), pad='zeros'):
     view = np.lib.stride_tricks.sliding_window_view(
         padded, win_size + sum(context), axis=0)
     frames = np.moveaxis(view, -1, 1)[::win_shift][:n]
-    return frames[:, :, 0] if mono else frames
+    # the reference squeezes every unit axis (mono channel AND a single
+    # frame): framing(sig400, 400) -> (400,), not (1, 400)
+    return frames[:, None].squeeze()
 
 
 def trfbank(fs, nfft, lowfreq, maxfreq, nlinfilt, nlogfilt, midfreq=1000):

@@ -149,6 +149,10 @@ def test_sidekit_framing_pre_emphasis(rng):
     np.testing.assert_array_equal(fc[0][:80], np.zeros(80))
     fe = framing(sig, 400, win_shift=160, context=(80, 0), pad="edge")
     np.testing.assert_array_equal(fe[0][:80], np.full(80, sig[0]))
+    # reference squeezes a single-frame result down to (win,)
+    one = framing(sig[:400], 400, win_shift=160)
+    assert one.shape == (400,)
+    np.testing.assert_array_equal(one, sig[:400])
 
     p = pre_emphasis(sig, 0.97)
     np.testing.assert_allclose(p[1:], sig[1:] - 0.97 * sig[:-1], rtol=1e-6)

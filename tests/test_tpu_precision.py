@@ -50,8 +50,11 @@ def _frames(segments, step=0.02):
 
 @pytest.mark.slow
 def test_high_vs_highest_frame_budget(tmp_path, media_dir):
+    # also drop ISS_TPU_MODEL_DIR: the session-scoped synthetic fixture
+    # leaks a size='small' dir through it, which would silently replace
+    # the full-shape models this gate is supposed to measure
     env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "ISS_TPU_MODEL_DIR")}
     prev = env.get("PYTHONPATH", "")
     env["PYTHONPATH"] = REPO + (os.pathsep + prev if prev else "")
 

@@ -87,10 +87,30 @@ def test_malformed_inputs_raise_cleanly():
     # a data chunk truncated mid-frame still decodes whole frames
     sig, sr = read_wav(good[:-3])
     assert sr == 16000 and sig.shape == (98,)
-    # hand-craft a PCM_24 file
+
+    # truncated WAVE_FORMAT_EXTENSIBLE: fmt declares size 40 but the
+    # stream ends before the SubFormat GUID — still a clean error
+    ext = bytearray(good)
+    ext[20:22] = struct.pack("<H", 0xFFFE)
+    ext[16:20] = struct.pack("<I", 40)          # declared fmt size
+    try:
+        read_wav(bytes(ext[:36]))               # EOF inside the fmt chunk
+    except WavFormatError:
+        pass
+    else:
+        raise AssertionError("truncated extensible fmt accepted")
+
+
+def test_pcm24():
+    """Hand-crafted PCM_24 file decodes with correct sign extension."""
+    import struct
+
+    import numpy as np
+
+    from inaspeechsegmenter_tpu.audio.wav import read_wav
+
     vals = np.array([0, 1, -1, 8388607, -8388608, 123456], dtype=np.int32)
     payload = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
-    import struct
     fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000 * 3, 3, 24)
     body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(payload)) + payload
