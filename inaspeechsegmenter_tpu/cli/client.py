@@ -28,17 +28,13 @@ def main(argv=None):
                         help='Fresh-connection retries per lease call.')
     args = parser.parse_args(argv)
 
-    if args.ffmpeg_binary.lower() == 'none' or args.ffmpeg_binary == '':
-        print('Disabling ffmpeg. Make sure your audio files are already '
-              'sampled at 16kHz.')
-        args.ffmpeg_binary = None
+    from inaspeechsegmenter_tpu.cli._common import (bootstrap_runtime,
+                                                    resolve_ffmpeg)
 
-    from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
-    from inaspeechsegmenter_tpu.utils.env import apply_platform_env
-    apply_platform_env()
+    args.ffmpeg_binary = resolve_ffmpeg(args.ffmpeg_binary)
     # restarted workers (per lease batch / after a crash) warm-start from
     # the persistent cache instead of repaying 20-40 s per bucket compile
-    enable_compilation_cache()
+    bootstrap_runtime()
 
     from inaspeechsegmenter_tpu.parallel import client_work_loop
 

@@ -25,8 +25,8 @@ description = (
 def build_parser():
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument('-i', '--input', nargs='+', required=True,
-                        help='Input media to analyse: full path(s) or glob '
-                             'pattern(s).')
+                        help='Input media to analyse: full path(s), glob '
+                             'pattern(s), or http urls (urls need ffmpeg).')
     parser.add_argument('-o', '--output_directory', required=True,
                         help='Directory used to store score csvs (same base '
                              'name as input, csv extension).')
@@ -55,7 +55,7 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
     args.ffmpeg_binary = resolve_ffmpeg(args.ffmpeg_binary)
-    input_files = expand_inputs(args.input)
+    input_files = expand_inputs(args.input, allow_urls=True)
     odir = check_outdir(args.output_directory)
     bootstrap_runtime()
 

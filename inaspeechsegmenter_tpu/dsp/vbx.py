@@ -16,6 +16,7 @@ Host does only the RNG-dependent dither and mirror pad; framing, FFT
 from __future__ import annotations
 
 import os
+import threading
 from functools import partial
 
 import jax
@@ -67,6 +68,9 @@ class VbxFrontend:
         self.dsin = jnp.asarray(dsin)
         self._dither_dev = None      # device-resident dither prefix cache
         self._dither_len = 0
+        # grow-on-demand cache is hit from batch_score's prefetch threads;
+        # racing growths could leave _dither_len ahead of the actual buffer
+        self._dither_lock = threading.Lock()
 
     @partial(jax.jit, static_argnames=("self",))
     def _fbank_cmvn_padded(self, seg_pad, n_frames):
@@ -113,13 +117,14 @@ class VbxFrontend:
         HBM; per-file uploads then ship int16 PCM instead of the dithered
         float32 signal (half the link bytes, steady-state).
         """
-        if n > self._dither_len:
-            grow = -(-n // (1 << 20)) * (1 << 20)
-            rng = np.random.RandomState(3)
-            d = (8.0 * (2.0 * rng.rand(grow) - 1.0)).astype(np.float32)
-            self._dither_dev = _upload_pieces(d, 1 << 20)
-            self._dither_len = grow
-        return self._dither_dev
+        with self._dither_lock:
+            if n > self._dither_len:
+                grow = -(-n // (1 << 20)) * (1 << 20)
+                rng = np.random.RandomState(3)
+                d = (8.0 * (2.0 * rng.rand(grow) - 1.0)).astype(np.float32)
+                self._dither_dev = _upload_pieces(d, 1 << 20)
+                self._dither_len = grow
+            return self._dither_dev
 
     def _seg_from_i16(self, sig_i16, dither, n_sig):
         """Traced: dither + mirror-pad the int16 signal on device,

@@ -241,6 +241,9 @@ def _flatten_nested(entries):
                 # sequential nested chain head
                 se["inbound"] = list(parent_in)
             out.append(se)
+        if not sub_entries:
+            raise KerasImportError(
+                f"nested model {e['name']!r} has no layers to flatten")
         last = sub_out[0] if sub_out else sub_entries[-1]["name"]
         rename[e["name"]] = sub_rename.get(last, last)
     return out, rename

@@ -20,6 +20,7 @@ reference's tests exercise GenderJobServer directly).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import socket
@@ -27,6 +28,9 @@ import socketserver
 import threading
 
 import pandas as pd
+
+# distinguishes JobClient instances within one process (see JobClient)
+_CLIENT_COUNTER = itertools.count(1)
 
 
 class JobServer:
@@ -93,41 +97,56 @@ class JobServer:
         jobserver = self
         replay_lock = threading.Lock()
         replay = {}          # client -> (last_id, last_response_line)
+        client_locks = {}    # client -> per-client execution lock
+
+        def _client_lock(client):
+            with replay_lock:
+                lk = client_locks.get(client)
+                if lk is None:
+                    lk = client_locks[client] = threading.Lock()
+                return lk
+
+        def _execute(req):
+            try:
+                # explicit RPC surface only: everything else on the
+                # server object (serve, __init__, _lock, ...) must
+                # not be reachable from the network
+                if req["method"] not in ("get_job", "get_njobs",
+                                         "set_jobs", "has_more_jobs"):
+                    raise ValueError(f"unknown method {req['method']!r}")
+                method = getattr(jobserver, req["method"])
+                result = method(*req.get("args", []),
+                                **req.get("kwargs", {}))
+                resp = {"result": result}
+            except Exception as exc:  # report errors to the client
+                resp = {"error": f"{type(exc).__name__}: {exc}"}
+            return (json.dumps(resp) + "\n").encode()
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
                 for line in self.rfile:
-                    req_id = None
-                    client = None
                     try:
                         req = json.loads(line)
                         req_id = req.get("id")
                         client = req.get("client")
-                        if req_id is not None and client is not None:
+                    except Exception:
+                        req, req_id, client = {"method": None}, None, None
+                    if req_id is not None and client is not None:
+                        # per-client serialization: a retry that arrives
+                        # while the original request is still executing
+                        # blocks here and then hits the replay cache,
+                        # instead of executing the method a second time
+                        with _client_lock(client):
                             with replay_lock:
                                 last = replay.get(client)
                             if last is not None and last[0] == req_id:
-                                self.wfile.write(last[1])
-                                self.wfile.flush()
-                                continue
-                        # explicit RPC surface only: everything else on the
-                        # server object (serve, __init__, _lock, ...) must
-                        # not be reachable from the network
-                        if req["method"] not in ("get_job", "get_njobs",
-                                                 "set_jobs",
-                                                 "has_more_jobs"):
-                            raise ValueError(
-                                f"unknown method {req['method']!r}")
-                        method = getattr(jobserver, req["method"])
-                        result = method(*req.get("args", []),
-                                        **req.get("kwargs", {}))
-                        resp = {"result": result}
-                    except Exception as exc:  # report errors to the client
-                        resp = {"error": f"{type(exc).__name__}: {exc}"}
-                    payload = (json.dumps(resp) + "\n").encode()
-                    if req_id is not None and client is not None:
-                        with replay_lock:
-                            replay[client] = (req_id, payload)
+                                payload = last[1]
+                            else:
+                                payload = _execute(req)
+                                with replay_lock:
+                                    replay[client] = (req_id, payload)
+                    else:
+                        payload = _execute(req)
                     self.wfile.write(payload)
                     self.wfile.flush()
                     if stop_after_dispatch and not jobserver.has_more_jobs():
@@ -171,8 +190,11 @@ class JobClient:
         self.reconnect = reconnect
         self.sock = None
         self.rfile = None
+        # process-wide monotonic counter, NOT id(self): a freed address
+        # can be reused by a later JobClient whose fresh _seq would then
+        # collide with the server's replay cache for the dead client
         self._client = "%s-%d-%d" % (_socket.gethostname(), os.getpid(),
-                                     id(self))
+                                     next(_CLIENT_COUNTER))
         self._seq = 0
         self._connect()
 

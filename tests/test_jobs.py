@@ -272,3 +272,68 @@ def test_farm_vfs_worker(synthetic_model_dir, media_dir, tmp_path):
     header, row = out.read_text().splitlines()
     assert header == "score\tspeech_duration\tnb_vectors"
     assert row.split("\t") == ["", "0.0", "0"]
+
+
+def test_client_keys_distinct_across_instances(jobs_csv):
+    """Replay identity must not depend on id(self): a freed address can be
+    reused by a later JobClient, colliding with the server's replay cache."""
+    srv = JobServer(jobs_csv)
+    tcp, uri = srv.serve(host="127.0.0.1", port=0)
+    try:
+        keys = []
+        for _ in range(3):
+            c = JobClient(uri)
+            keys.append(c._client)
+            c._drop()
+            del c
+        assert len(set(keys)) == 3, keys
+    finally:
+        tcp.shutdown()
+        tcp.server_close()
+
+
+def test_inflight_duplicate_not_reexecuted(jobs_csv):
+    """A retry arriving while the original request is still executing must
+    block and replay, not execute the method a second time."""
+    import json
+    import socket
+    import threading
+    import time
+
+    srv = JobServer(jobs_csv)
+    calls = []
+    orig = srv.get_njobs
+
+    def slow_get_njobs(msg, nbjobs=20):
+        calls.append(msg)
+        time.sleep(0.5)
+        return orig(msg, nbjobs=nbjobs)
+
+    srv.get_njobs = slow_get_njobs
+    tcp, uri = srv.serve(host="127.0.0.1", port=0)
+    try:
+        host, port = uri.split("//")[1].split(":")
+        req = json.dumps({"method": "get_njobs", "args": ["w"],
+                          "kwargs": {"nbjobs": 1}, "client": "dup",
+                          "id": 1}) + "\n"
+        results = []
+
+        def send():
+            with socket.create_connection((host, int(port))) as s:
+                f = s.makefile("rw")
+                f.write(req)
+                f.flush()
+                results.append(json.loads(f.readline()))
+
+        t1 = threading.Thread(target=send)
+        t2 = threading.Thread(target=send)
+        t1.start()
+        time.sleep(0.15)       # original is mid-execution
+        t2.start()
+        t1.join()
+        t2.join()
+        assert len(calls) == 1          # executed exactly once
+        assert results[0] == results[1]  # retry got the replay
+    finally:
+        tcp.shutdown()
+        tcp.server_close()
