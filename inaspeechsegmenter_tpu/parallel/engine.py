@@ -13,8 +13,6 @@ execution of the current one.
 from __future__ import annotations
 
 import os
-import random
-import sys
 import time
 from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor
@@ -26,6 +24,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..export import seg2csv, seg2textgrid
 from ..pipeline import rle
+from ..segmenter import patch_counts
+from ..utils.retry import retry_call
 from .mesh import make_mesh
 
 
@@ -81,10 +81,10 @@ class ParallelEngine:
                 nf, nfp, n20 = [], [], []
                 for i in chunk:
                     _, _, t, difflen = feats_list[i]
+                    frames_patch, n_out = patch_counts(t, difflen)
                     nf.append(t)
-                    nfp.append(68 if difflen > 0 else t)
-                    n20.append((t + 1) // 2 if difflen == 0
-                               else 34 - int(difflen / 2))
+                    nfp.append(frames_patch)
+                    n20.append(n_out)
                 while len(ms) < pad_to:  # pad group with a copy
                     ms.append(ms[0])
                     lg.append(lg[0])
@@ -108,6 +108,9 @@ class ParallelEngine:
                       nbtry=1, trydelay=2., output_format="csv"):
         """Data-parallel batch processing with reference-compatible status
         tuple returns; host feature staging overlaps device execution."""
+        if output_format not in ("csv", "textgrid"):
+            # same error contract as Segmenter.batch_process
+            raise NotImplementedError()
         fexport = {"csv": seg2csv, "textgrid": seg2textgrid}[output_format]
         t0 = time.time()
         # status tuples keep INPUT order (reference contract: callers zip
@@ -127,16 +130,12 @@ class ParallelEngine:
             # per-file retry with randomized backoff, identical semantics to
             # Segmenter.batch_process (flaky remote/NFS media on farm nodes)
             _, src, dst = item
-            err = None
-            for itry in range(nbtry):
-                try:
-                    return (self.seg._media2feats(src, None, None),
-                            (dst, 0, "ok"))
-                except Exception:
-                    err = sys.exc_info()[0]
-                    if itry != nbtry - 1:
-                        time.sleep(random.random() * trydelay)
-            return None, (dst, 2, "error: " + str(err))
+            feats, err = retry_call(
+                lambda: self.seg._media2feats(src, None, None),
+                nbtry=nbtry, trydelay=trydelay)
+            if feats is None:
+                return None, (dst, 2, "error: " + str(err))
+            return feats, (dst, 0, "ok")
 
         # process in device-sized groups; stage the next group's features on
         # a worker thread while the current group runs on the mesh

@@ -16,8 +16,6 @@ processes patches in fixed MXU-friendly chunks.
 from __future__ import annotations
 
 import os
-import random
-import sys
 import time
 import warnings
 from concurrent.futures import ThreadPoolExecutor
@@ -29,6 +27,7 @@ from .dsp.sidekit import SidekitFrontend, CHUNK, frame_count
 from .export import seg2csv, seg2textgrid
 from .models.registry import load_patch_model
 from .pipeline import FusedPipeline, rle, bucket_chunks
+from .utils.retry import retry_call
 from .utils.timing import StageTimers
 
 
@@ -88,6 +87,13 @@ class DnnSegmenter:
                 inmask[start:stop] = True
         reset = np.zeros(n20, bool)
         reset[1:] = inmask[1:] != inmask[:-1]
+        # also reset at every in-label segment START: the reference decodes
+        # each (label, start, stop) segment independently (segmenter.py:
+        # 166-178), so two ADJACENT same-label segments must not share one
+        # Viterbi (mask transitions alone would merge them)
+        for lab, start, stop in lseg:
+            if lab == self.inlabel and 0 < start < n20:
+                reset[start] = True
         em = jnp.where(jnp.asarray(inmask)[:, None], jnp.log(probs), 0.0)
         states = np.asarray(viterbi_path(
             em, diag_trans_exp(self.viterbi_arg, len(self.outlabels)),
@@ -178,22 +184,19 @@ class Segmenter:
             # happens on device
             sig = media2sig16kmono(medianame, start_sec, stop_sec,
                                    self.ffmpeg, "auto")
+        return self._sig2feats(sig, medianame)
+
+    def _sig2feats(self, sig, medianame="<signal>"):
+        """Features for a decoded signal -> (mspec_dev, loge_dev, t, difflen)."""
         with self.timers.time("features"):
             t = frame_count(len(sig))
             bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK
             mspec, loge, t = self.frontend.mspec_loge(sig, pad_frames_to=bucket)
-        difflen = 0
-        if t < 68:
-            difflen = 68 - t
-            warnings.warn(
-                "media %s duration is short. Robust results require length "
-                "of at least 720 milliseconds" % medianame)
-            mspec = _pad_short_mspec(mspec, t)
+        mspec, difflen = short_media_pad(mspec, t, medianame)
         return mspec, loge, t, difflen
 
     def _fused_segment(self, mspec_dev, loge_dev, t, difflen, start_sec):
-        n20 = (t + 1) // 2 if difflen == 0 else (68 + 1) // 2 - int(difflen / 2)
-        n_frames_patch = 68 if difflen > 0 else t
+        n_frames_patch, n20 = patch_counts(t, difflen)
         with self.timers.time("segment"):
             ids = self.pipeline.run(
                 self.vad.model.params,
@@ -237,13 +240,6 @@ class Segmenter:
         Disable with ISS_STREAMING=0.
         """
         s0 = 0 if start_sec is None else start_sec
-        stream = (os.environ.get("ISS_STREAMING", "1") != "0"
-                  and hasattr(self.frontend, "mspec_loge_chunks"))
-        if not stream:
-            mspec, loge, t, difflen = self._media2feats(medianame, start_sec,
-                                                        stop_sec)
-            return self._fused_segment(mspec, loge, t, difflen, s0)
-
         with self.timers.time("decode"):
             sig = media2sig16kmono(medianame, start_sec, stop_sec,
                                    self.ffmpeg, "auto")
@@ -266,18 +262,7 @@ class Segmenter:
         s0 = start_sec
         if not (os.environ.get("ISS_STREAMING", "1") != "0"
                 and hasattr(self.frontend, "mspec_loge_chunks")):
-            with self.timers.time("features"):
-                t = frame_count(len(sig))
-                bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK
-                mspec, loge, t = self.frontend.mspec_loge(
-                    sig, pad_frames_to=bucket)
-            difflen = 0
-            if t < 68:
-                difflen = 68 - t
-                warnings.warn(
-                    "media %s duration is short. Robust results require "
-                    "length of at least 720 milliseconds" % medianame)
-                mspec = _pad_short_mspec(mspec, t)
+            mspec, loge, t, difflen = self._sig2feats(sig, medianame)
             ret = self._fused_segment(mspec, loge, t, difflen, s0)
             return (ret, None) if return_pcm else ret
 
@@ -307,13 +292,7 @@ class Segmenter:
         # short or single-chunk media: fused whole-file program
         mspec = jnp.concatenate([m for m, _ in chunks])
         loge = jnp.concatenate([l for _, l in chunks])
-        difflen = 0
-        if t < 68:
-            difflen = 68 - t
-            warnings.warn(
-                "media %s duration is short. Robust results require length "
-                "of at least 720 milliseconds" % medianame)
-            mspec = _pad_short_mspec(mspec, t)
+        mspec, difflen = short_media_pad(mspec, t, medianame)
         ret = self._fused_segment(mspec, loge, t, difflen, s0)
         return (ret, pcm) if return_pcm else ret
 
@@ -344,15 +323,9 @@ class Segmenter:
             dname = os.path.dirname(dst)
             if dname and not os.path.isdir(dname):
                 os.makedirs(dname, exist_ok=True)
-            ret, errmsg = None, None
-            for itry in range(nbtry):
-                try:
-                    ret = self._media2feats(src, None, None)
-                    break
-                except Exception:
-                    errmsg = sys.exc_info()[0]
-                    if itry != nbtry - 1:
-                        time.sleep(random.random() * trydelay)
+            ret, errmsg = retry_call(
+                lambda: self._media2feats(src, None, None),
+                nbtry=nbtry, trydelay=trydelay)
             if ret is None:
                 return None, (dst, 2, "error: " + str(errmsg))
             return ret, (dst, 0, "ok")
@@ -452,11 +425,37 @@ def _default_frontend():
     return SidekitFrontend()
 
 
+def patch_counts(t, difflen):
+    """(n_frames_patch, n20) for the fused pipeline: the reference's
+    68-frame short-media pad arithmetic (segmenter.py:60-66, 150-152) —
+    the single source for both the per-file and the batched engine path."""
+    if difflen > 0:
+        return 68, (68 + 1) // 2 - int(difflen / 2)
+    return t, (t + 1) // 2
+
+
+def short_media_pad(mspec, t, medianame):
+    """Shared t<68 handling -> (mspec, difflen): warn like the reference
+    (segmenter.py:62-66) and pad the mel rows with their min value."""
+    if t >= 68:
+        return mspec, 0
+    warnings.warn(
+        "media %s duration is short. Robust results require length "
+        "of at least 720 milliseconds" % medianame)
+    return _pad_short_mspec(mspec, t), 68 - t
+
+
 def _pad_short_mspec(mspec_dev, t):
     """Pad a <68-frame mel spectrogram to 68 rows with its min value
     (reference segmenter.py:62-66), keeping the padded device layout."""
     import jax.numpy as jnp
 
+    if t < 1:
+        # the reference crashes the same way deeper in (np.min over an
+        # empty array, segmenter.py:62-66); make the error actionable
+        raise ValueError(
+            "media too short to analyse: no complete 25 ms analysis "
+            "window (need >= 400 samples at 16 kHz)")
     m = np.asarray(mspec_dev[:t])
     fill = np.min(m)
     out = np.full((mspec_dev.shape[0], m.shape[1]), 0.0, np.float32)

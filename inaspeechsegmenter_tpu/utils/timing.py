@@ -8,6 +8,7 @@ queryable, and `jax.profiler` trace capture can wrap any region.
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 
@@ -16,6 +17,9 @@ class StageTimers:
     def __init__(self, *stages):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
+        # batch_process times decode/features on concurrent producer
+        # threads; the += accumulation must not lose updates
+        self._lock = threading.Lock()
         for s in stages:
             self.totals[s] = 0.0
             self.counts[s] = 0
@@ -27,8 +31,9 @@ class StageTimers:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self.totals[stage] += dt
-            self.counts[stage] += 1
+            with self._lock:
+                self.totals[stage] += dt
+                self.counts[stage] += 1
 
     def summary(self):
         return {s: dict(total_s=self.totals[s], calls=self.counts[s])

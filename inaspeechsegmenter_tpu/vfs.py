@@ -379,10 +379,10 @@ class VoiceFemininityScoring:
         Segmenter.batch_process; the reference's featGenerator analogue,
         segmenter.py:377-387 — its VFS pipeline has no such overlap).
         """
-        import random
-        import sys
         import time
         from concurrent.futures import ThreadPoolExecutor
+
+        from .utils.retry import retry_call
 
         t0 = time.time()
         lmsg = []
@@ -393,15 +393,11 @@ class VoiceFemininityScoring:
             dname = os.path.dirname(dst)
             if dname and not os.path.isdir(dname):
                 os.makedirs(dname, exist_ok=True)
-            err = None
-            for itry in range(nbtry):
-                try:
-                    return self._prepare(src), (dst, 0, "ok")
-                except Exception:
-                    err = sys.exc_info()[0]
-                    if itry != nbtry - 1:
-                        time.sleep(random.random() * trydelay)
-            return None, (dst, 2, "error: " + str(err))
+            prepared, err = retry_call(lambda: self._prepare(src),
+                                       nbtry=nbtry, trydelay=trydelay)
+            if prepared is None:
+                return None, (dst, 2, "error: " + str(err))
+            return prepared, (dst, 0, "ok")
 
         lin = list(zip(linput, loutput))
         default_depth = "2" if (os.cpu_count() or 1) >= 4 else "1"
@@ -421,15 +417,9 @@ class VoiceFemininityScoring:
                     # file, segmenter.py:360-368): transient device/link
                     # errors during the ResNet/MLP must not permanently
                     # fail a corpus file
-                    result = err = None
-                    for itry in range(nbtry):
-                        try:
-                            result = self._score_prepared(prepared)
-                            break
-                        except Exception:
-                            err = sys.exc_info()[0]
-                            if itry != nbtry - 1:
-                                time.sleep(random.random() * trydelay)
+                    result, err = retry_call(
+                        lambda: self._score_prepared(prepared),
+                        nbtry=nbtry, trydelay=trydelay)
                     if result is None:
                         lmsg[-1] = (dst, 2, "error: " + str(err))
                     else:

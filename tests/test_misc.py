@@ -72,3 +72,36 @@ def test_frontend_env_selection(monkeypatch):
     assert isinstance(_default_frontend(), PallasSidekitFrontend)
     monkeypatch.delenv("ISS_FRONTEND")
     assert isinstance(_default_frontend(), SidekitFrontend)
+
+
+def test_per_stage_adjacent_same_label_segments(synthetic_model_dir,
+                                                musanmix_sig):
+    """The per-stage API decodes every lseg segment independently: two
+    ADJACENT same-inlabel segments must give the same result as two
+    separate calls (reference decodes per segment, segmenter.py:166-178)."""
+    from inaspeechsegmenter_tpu import Segmenter
+
+    seg = Segmenter(vad_engine="smn", detect_gender=False, ffmpeg=None)
+    mspec, _ = seg.frontend.mspec_loge_np(musanmix_sig[: 16000 * 8])
+    n20 = (len(mspec) + 1) // 2
+    mid = n20 // 2
+    split = seg.vad(mspec, [("energy", 0, mid), ("energy", mid, n20)])
+    a = seg.vad(mspec, [("energy", 0, mid)])
+    b = seg.vad(mspec, [("energy", mid, n20)])
+    assert split == a + b
+
+
+def test_media_too_short_clean_error(synthetic_model_dir, tmp_path):
+    """Sub-frame media (<400 samples) raises an actionable ValueError, not
+    a zero-size-reduction crash deep inside numpy."""
+    import numpy as np
+    import pytest
+
+    from inaspeechsegmenter_tpu import Segmenter
+    from inaspeechsegmenter_tpu.audio import write_wav
+
+    p = str(tmp_path / "tiny.wav")
+    write_wav(p, np.zeros(100, np.float32), 16000)
+    seg = Segmenter(vad_engine="smn", detect_gender=False, ffmpeg=None)
+    with pytest.raises(ValueError, match="too short"):
+        seg(p)
