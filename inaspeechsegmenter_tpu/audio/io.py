@@ -28,6 +28,17 @@ from .wav import read_wav
 SR = 16000
 
 
+def _cast_signal(sig, dtype):
+    """Cast float samples to the requested dtype: integer targets are
+    rounded and saturated (a bare astype would truncate and WRAP overshoot
+    past full scale into opposite-sign clicks)."""
+    out_dtype = np.dtype(dtype)
+    if out_dtype.kind in "iu":
+        info = np.iinfo(out_dtype)
+        sig = np.clip(np.rint(sig), info.min, info.max)
+    return sig.astype(out_dtype)
+
+
 def media2sig16kmono(medianame, start_sec=None, stop_sec=None, ffmpeg="ffmpeg",
                      dtype="float64"):
     """Decode a media file to a 16 kHz mono signal.
@@ -55,7 +66,10 @@ def media2sig16kmono(medianame, start_sec=None, stop_sec=None, ffmpeg="ffmpeg",
             )
         sig, sr = read_wav(medianame, dtype=dtype)
         if sig.ndim > 1:
-            sig = sig.mean(axis=1)
+            # mono mixdown (capability superset: the reference returns the
+            # 2-D array as-is); honor the requested dtype — int16 callers
+            # branch on it for the half-size upload path
+            sig = _cast_signal(sig.mean(axis=1), dtype)
         if sr != SR:
             # capability superset over the reference no-ffmpeg path: if the
             # native resampler (native/issaudio.cc) is built, accept any WAV
@@ -64,7 +78,8 @@ def media2sig16kmono(medianame, start_sec=None, stop_sec=None, ffmpeg="ffmpeg",
 
             if native.available():
                 sig = native.resample(sig.astype(np.float32), sr, SR)
-                return sig.astype(dtype)
+                # sinc overshoot past full scale must saturate, not wrap
+                return _cast_signal(sig, dtype)
             assert sr == SR, (
                 f"Without ffmpeg, only files sampled at 16000 Hz are "
                 f"supported (build native/issaudio for resampling). "
@@ -95,8 +110,9 @@ def _media2sig_auto(medianame, start_sec, stop_sec, ffmpeg):
         # ffmpeg emits pcm_s16le: int16 is always exact on this path
         return media2sig16kmono(medianame, start_sec, stop_sec, ffmpeg,
                                 "int16")
-    from .wav import read_wav, _read_chunks  # noqa: F401
     import struct
+
+    from .wav import WavFormatError, _read_chunks, read_wav
 
     if (start_sec is not None or stop_sec is not None
             or medianame.startswith("http://")
@@ -106,16 +122,23 @@ def _media2sig_auto(medianame, start_sec, stop_sec, ffmpeg):
         return media2sig16kmono(medianame, start_sec, stop_sec, ffmpeg,
                                 "float32")
     try:
+        # walk the RIFF chunks for the real fmt header — scanning raw bytes
+        # for b"fmt " can hit a stale header copy inside a JUNK/LIST chunk
+        fmt = None
         with open(medianame, "rb") as f:
-            head = f.read(1024)
-        idx = head.find(b"fmt ")
-        if idx >= 0:
-            fmt = struct.unpack("<HHIIHH", head[idx + 8: idx + 24])
+            for cid, size, offset in _read_chunks(f):
+                if cid == b"fmt ":
+                    f.seek(offset)
+                    raw = f.read(size)
+                    if len(raw) >= 16:
+                        fmt = struct.unpack("<HHIIHH", raw[:16])
+                    break
+        if fmt is not None:
             code, channels, sr, _, _, bits = fmt
             if code == 1 and bits == 16 and channels == 1 and sr == SR:
                 sig, sr = read_wav(medianame, dtype="int16")
                 return sig
-    except (OSError, struct.error):
+    except (OSError, WavFormatError, struct.error):
         pass
     return media2sig16kmono(medianame, start_sec, stop_sec, ffmpeg, "float32")
 

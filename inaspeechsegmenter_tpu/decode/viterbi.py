@@ -54,6 +54,10 @@ def _viterbi_parallel(emission, transition, initial, reset):
 
     Segment resets restart both passes exactly as independent decodes.
     """
+    # frame 0 is always a segment start; forcing reset[0] makes the
+    # decode independent of the caller remembering the precondition
+    # (viterbi_path sets it, but pipeline.py calls these directly)
+    reset = reset.at[0].set(True)
     T, K = emission.shape
     idstates = jnp.arange(K, dtype=jnp.int32)
 
@@ -129,6 +133,10 @@ def _viterbi_blocked(emission, transition, initial, reset):
     trailing segment that cannot influence real frames.  Measured equal to
     `_viterbi_scan` on every test (CPU + TPU, random and real emissions).
     """
+    # frame 0 is always a segment start; forcing reset[0] makes the
+    # decode independent of the caller remembering the precondition
+    # (viterbi_path sets it, but pipeline.py calls these directly)
+    reset = reset.at[0].set(True)
     T, K = emission.shape
     L = _BLOCK
     nb = -(-T // L)
@@ -217,6 +225,10 @@ def _viterbi_scan(emission, transition, initial, reset):
 
     Returns states (T,) int32.
     """
+    # frame 0 is always a segment start; forcing reset[0] makes the
+    # decode independent of the caller remembering the precondition
+    # (viterbi_path sets it, but pipeline.py calls these directly)
+    reset = reset.at[0].set(True)
     K = emission.shape[1]
     idstates = jnp.arange(K, dtype=jnp.int32)
 

@@ -120,9 +120,21 @@ class VbxFrontend:
         with self._dither_lock:
             if n > self._dither_len:
                 grow = -(-n // (1 << 20)) * (1 << 20)
-                rng = np.random.RandomState(3)
-                d = (8.0 * (2.0 * rng.rand(grow) - 1.0)).astype(np.float32)
-                self._dither_dev = _upload_pieces(d, 1 << 20)
+                if self._dither_dev is None:
+                    self._dither_rng = np.random.RandomState(3)
+                    d = (8.0 * (2.0 * self._dither_rng.rand(grow) - 1.0)
+                         ).astype(np.float32)
+                    self._dither_dev = _upload_pieces(d, 1 << 20)
+                else:
+                    # extend with just the delta: the kept RandomState
+                    # continues the MT19937(3) stream, so only the new
+                    # samples cross the link (re-shipping the whole prefix
+                    # cost seconds per growth on hour-scale corpora)
+                    delta = grow - self._dither_len
+                    d = (8.0 * (2.0 * self._dither_rng.rand(delta) - 1.0)
+                         ).astype(np.float32)
+                    self._dither_dev = jnp.concatenate(
+                        [self._dither_dev, _upload_pieces(d, 1 << 20)])
                 self._dither_len = grow
             return self._dither_dev
 
@@ -183,7 +195,6 @@ class VbxFrontend:
             overlap by that lookahead).
         :param n: true sample count of the signal.
         """
-        import jax.numpy as jnp
 
         n_frames = (n - 80) // HOP + 1
         t_bucket = -(-n_frames // 1024) * 1024

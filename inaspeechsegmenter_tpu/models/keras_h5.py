@@ -94,6 +94,13 @@ def _parse_inbound(nodes):
     names = []
     if not nodes:
         return names
+    if len(nodes) > 1:
+        # a layer invoked more than once (shared layer) has one inbound
+        # node per call; wiring only the first call would silently feed
+        # every consumer the first application's output
+        raise KerasImportError(
+            "shared layers (a layer with %d inbound nodes) are not "
+            "supported" % len(nodes))
     first = nodes[0]
     if isinstance(first, dict):  # keras 3
         def walk(obj):
@@ -288,7 +295,6 @@ def strip_final_softmax(spec):
 def build_forward(spec):
     """Compile a spec into `forward(params, x) -> y` (pure, jittable)."""
     entries = spec["layers"]
-    by_name = {e["name"]: e for e in entries}
     for e in entries:
         cname = e["class_name"]
         if cname not in LAYER_FNS and cname not in MERGE_FNS:

@@ -193,3 +193,19 @@ def test_keep_pcm_none_for_float_sources():
     sig = np.zeros(16000 * 5, np.float32)
     outs, t, pcm = fe.mspec_loge_chunks(sig, keep_pcm=True)
     assert pcm is None and t == (len(sig) - 400) // 160 + 1
+
+
+def test_dither_buffer_growth_continues_stream():
+    """Growing the device dither cache extends the MT19937(3) stream with
+    just the delta — the result must equal one fresh full draw."""
+    import numpy as np
+
+    from inaspeechsegmenter_tpu.dsp.vbx import VbxFrontend
+
+    fe = VbxFrontend()
+    fe._dither_buffer(1000)                     # first growth: 1 MiB block
+    buf = np.asarray(fe._dither_buffer((1 << 20) + 5))   # delta growth
+    rng = np.random.RandomState(3)
+    ref = (8.0 * (2.0 * rng.rand(2 << 20) - 1.0)).astype(np.float32)
+    assert buf.shape == ref.shape
+    np.testing.assert_array_equal(buf, ref)
