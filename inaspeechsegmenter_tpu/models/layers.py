@@ -159,8 +159,14 @@ def conv1d(cfg, params, x):
     strides = (int(cfg.get("strides", [1])[0]) if isinstance(cfg.get("strides", 1), (list, tuple))
                else int(cfg.get("strides", 1)),)
     padding = cfg.get("padding", "valid").upper()
+    dil = cfg.get("dilation_rate", 1)
+    dil = int(dil[0]) if isinstance(dil, (list, tuple)) else int(dil)
+    if padding == "CAUSAL":
+        # Keras causal = left-pad by (kw-1)*dilation then VALID
+        padding = [((kernel.shape[0] - 1) * dil, 0)]
     out = jax.lax.conv_general_dilated(
         x, kernel, window_strides=strides, padding=padding,
+        rhs_dilation=(dil,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         precision=cnn_precision())
     if cfg.get("use_bias", True):
@@ -265,7 +271,9 @@ def activation(cfg, params, x):
 
 
 def relu_layer(cfg, params, x):
-    x = jnp.minimum(x, cfg["max_value"]) if cfg.get("max_value") else x
+    # `is not None`: max_value=0.0 is a valid (constant-zero) clamp
+    if cfg.get("max_value") is not None:
+        x = jnp.minimum(x, cfg["max_value"])
     neg = cfg.get("negative_slope", 0.0) or 0.0
     thr = cfg.get("threshold", 0.0) or 0.0
     return jnp.where(x >= thr, x, neg * (x - thr))

@@ -173,8 +173,11 @@ def _parse_attribute(mv):
         elif fno == 5:                    # t (tensor)
             value = _parse_tensor(val)[1]
         elif fno == 8:                    # ints
-            value = [_signed64(v) for v in
-                     (_packed_varints(val) if wt == _LEN else [val])]
+            # repeated int64 may arrive packed (one LEN record) or as one
+            # varint field per element — accumulate, don't overwrite
+            got = [_signed64(v) for v in
+                   (_packed_varints(val) if wt == _LEN else [val])]
+            value = (value + got) if isinstance(value, list) else got
     return name, value
 
 

@@ -75,7 +75,8 @@ def _synthetic_allowed(path):
     synthetic npz sitting in a shared cache directory must never shadow real
     released weights (it would silently produce garbage segmentations).
     """
-    if os.environ.get("ISS_ALLOW_SYNTHETIC"):
+    val = os.environ.get("ISS_ALLOW_SYNTHETIC", "").strip().lower()
+    if val and val not in ("0", "false", "off", "no"):
         return True
     env = os.environ.get("ISS_TPU_MODEL_DIR")
     if env and os.path.abspath(path).startswith(os.path.abspath(env) + os.sep):
@@ -86,24 +87,44 @@ def _synthetic_allowed(path):
 def get_remote(model_fname, allow_download=True, allow_synthetic=False):
     """Resolve a model filename to a local path.
 
-    Search order: native-converted `.npz` in any search dir, the exact
-    filename in any search dir, then (optionally) download from the release
-    URL into the cache dir.  Synthetic stand-in checkpoints are skipped
-    unless explicitly opted into (see _synthetic_allowed); a skipped
-    synthetic never shadows a real hdf5 found later in the search.
+    Search order: per directory in priority order (ISS_TPU_MODEL_DIR, the
+    keras caches, the user cache), a native-converted `.npz` then the exact
+    filename; then (optionally) download from the release URL into the
+    cache dir.  A real weight file in a higher-priority directory therefore
+    always beats a converted npz cached in a lower-priority one, and a
+    same-directory npz older than its source file is ignored (stale
+    conversion after a weight update).  Synthetic stand-in checkpoints are
+    skipped unless explicitly opted into (see _synthetic_allowed); a
+    skipped synthetic never shadows a real hdf5 found later in the search.
     """
     stem = os.path.splitext(model_fname)[0]
+
+    def _usable_npz(p, newer_than=None):
+        if not os.access(p, os.R_OK):
+            return False
+        if _npz_is_synthetic(p):
+            return allow_synthetic or _synthetic_allowed(p)
+        if newer_than is not None and \
+                os.path.getmtime(p) < os.path.getmtime(newer_than):
+            return False           # stale conversion of an updated source
+        return True
+
     for d in _search_dirs():
-        p = os.path.join(d, stem + ".npz")
-        if os.access(p, os.R_OK):
-            if _npz_is_synthetic(p) and not (allow_synthetic or
-                                             _synthetic_allowed(p)):
-                continue
-            return p
-    for d in _search_dirs():
-        p = os.path.join(d, model_fname)
-        if os.access(p, os.R_OK):
-            return p
+        npz = os.path.join(d, stem + ".npz")
+        exact = os.path.join(d, model_fname)
+        if _usable_npz(npz, exact if os.access(exact, os.R_OK) else None):
+            return npz
+        if os.access(exact, os.R_OK):
+            # the conversion cache may live in a lower-priority dir (the
+            # user cache): use it when it is fresh, REAL (a synthetic
+            # stand-in must never shadow a real weight file) and at least
+            # as new as this source
+            for d2 in _search_dirs():
+                p2 = os.path.join(d2, stem + ".npz")
+                if (os.access(p2, os.R_OK) and not _npz_is_synthetic(p2)
+                        and os.path.getmtime(p2) >= os.path.getmtime(exact)):
+                    return p2
+            return exact
     if allow_download and model_fname in DMODELS:
         url = DMODELS[model_fname] + model_fname
         dest = os.path.join(cache_dir(), model_fname)
@@ -114,7 +135,14 @@ def get_remote(model_fname, allow_download=True, allow_synthetic=False):
             # must not truncate each other's in-flight downloads
             tmp = f"{dest}.part{os.getpid()}"
             try:
-                urllib.request.urlretrieve(url, tmp)  # noqa: S310
+                # explicit timeout: a packet-dropping firewall (common on
+                # egress-less TPU hosts) must yield the clear error below,
+                # not an indefinite hang on the first segmentation run
+                with urllib.request.urlopen(url, timeout=60) as r, \
+                        open(tmp, "wb") as fh:  # noqa: S310
+                    import shutil
+
+                    shutil.copyfileobj(r, fh)
                 os.replace(tmp, dest)
             finally:
                 if os.path.exists(tmp):
@@ -146,10 +174,20 @@ def load_patch_model(model_fname, allow_download=True, allow_synthetic=False):
                 stacklevel=2)
         return model
     model = ImportedModel.from_h5(path)
-    # cache the converted form next time
+    # cache the converted form for next time — atomically and with a
+    # per-process temp name, like the download path: a worker killed
+    # mid-write (or two converting concurrently) must not leave a
+    # truncated npz that every later run resolves first
     try:
         stem = os.path.splitext(os.path.basename(path))[0]
-        model.save_native(os.path.join(cache_dir(), stem + ".npz"))
+        dest = os.path.join(cache_dir(), stem + ".npz")
+        tmp = f"{dest}.part{os.getpid()}.npz"
+        try:
+            model.save_native(tmp)
+            os.replace(tmp, dest)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     except OSError:
         pass
     return model

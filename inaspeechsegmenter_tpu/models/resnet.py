@@ -55,6 +55,17 @@ def xvec_precision():
 # functional blocks
 # ---------------------------------------------------------------------------
 
+def pooled_freq(feat_dim):
+    """Frequency bins surviving the three stride-2 stages: every conv here
+    computes ceil(n/2) per stage (3x3 pad-1 and 1x1 VALID alike), so the
+    chain is iterated CEILING division — feat_dim // 8 only matches for
+    multiples of 8."""
+    f = feat_dim
+    for _ in range(3):
+        f = -(-f // 2)
+    return f
+
+
 def _conv(x, w, stride=1):
     # w: (kh, kw, cin, cout), x: NHWC
     return jax.lax.conv_general_dilated(
@@ -186,9 +197,7 @@ class ResNetXVector:
                 blocks.append(p)
                 in_planes = out_planes
             params[f"layer{si + 1}"] = blocks
-        pooled_freq = self.feat_dim // 8 if self.block == "bottleneck" else (
-            -(-(-(-self.feat_dim // 2) // 2) // 2))
-        feat = pooled_freq * in_planes * 2
+        feat = pooled_freq(self.feat_dim) * in_planes * 2
         params["embedding"] = dict(
             w=(rng.standard_normal((feat, self.embed_dim))
                * math.sqrt(1.0 / feat)).astype(np.float32),

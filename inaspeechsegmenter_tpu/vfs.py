@@ -619,8 +619,9 @@ def _load_resnet_onnx(net, path):
     _, w, b, trans_b = take("gemm")
     if trans_b:                      # torch Linear: B is (out, in), transB=1
         w = np.transpose(w, (1, 0))
-    feat = in_planes * 2 * (net.feat_dim // 8 if net.block == "bottleneck"
-                            else -(-(-(-net.feat_dim // 2) // 2) // 2))
+    from .models.resnet import pooled_freq
+
+    feat = in_planes * 2 * pooled_freq(net.feat_dim)
     if w.shape != (feat, net.embed_dim):
         raise ValueError(
             f"onnx embedding shape {w.shape} != expected "
