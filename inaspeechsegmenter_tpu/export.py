@@ -18,8 +18,11 @@ def seg2csv(lseg, fout=None):
 
 
 def seg2textgrid(lseg, fout=None):
-    xmin = lseg[0][1]
-    xmax = lseg[-1][2]
+    # an empty segmentation exports an empty tier (0-duration grid) rather
+    # than crashing — reachable via batch_process(output_format='textgrid')
+    # on a file whose segments were all filtered out
+    xmin = lseg[0][1] if lseg else 0.0
+    xmax = lseg[-1][2] if lseg else 0.0
     lines = [
         'File type = "ooTextFile"',
         'Object class = "TextGrid"',

@@ -18,7 +18,6 @@ from __future__ import annotations
 import os
 import time
 import warnings
-from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -27,6 +26,7 @@ from .dsp.sidekit import SidekitFrontend, CHUNK, frame_count
 from .export import seg2csv, seg2textgrid
 from .models.registry import load_patch_model
 from .pipeline import FusedPipeline, rle, bucket_chunks
+from .utils.prefetch import run_prefetched
 from .utils.retry import retry_call
 from .utils.timing import StageTimers
 
@@ -312,10 +312,6 @@ class Segmenter:
         else:
             raise NotImplementedError()
 
-        t_batch_start = time.time()
-        lmsg = []
-        lin = list(zip(linput, loutput))
-
         def produce(item):
             src, dst = item
             if skipifexist and os.path.exists(dst):
@@ -330,38 +326,19 @@ class Segmenter:
                 return None, (dst, 2, "error: " + str(errmsg))
             return ret, (dst, 0, "ok")
 
-        # prefetch `depth` files ahead: the next files' decode+features
-        # overlap the current file's device inference (generalizes the
-        # reference's one-ahead featGenerator/ThreadReturning pattern,
-        # segmenter.py:377-387 — with the host frontend, feature FFTs of
-        # several files run in parallel since scipy/BLAS release the GIL).
-        # One-ahead on low-core hosts: concurrent producers just contend
-        # (measured 2x slower on a 1-core TPU host).
-        default_depth = "2" if (os.cpu_count() or 1) >= 4 else "1"
-        depth = max(1, int(os.environ.get("ISS_PREFETCH", default_depth)))
-        with ThreadPoolExecutor(max_workers=depth) as pool:
-            futs = {i: pool.submit(produce, lin[i])
-                    for i in range(min(depth, len(lin)))}
-            for i, (src, dst) in enumerate(lin):
-                feats, msg = futs.pop(i).result()
-                j = i + depth
-                if j < len(lin):
-                    futs[j] = pool.submit(produce, lin[j])
-                lmsg.append(msg)
-                if feats is not None:
-                    mspec, loge, t, difflen = feats
-                    b = time.time()
-                    lseg = self._fused_segment(mspec, loge, t, difflen, 0)
-                    fexport(lseg, dst)
-                    lmsg[-1] = (msg[0], msg[1],
-                                "ok " + str(time.time() - b))
-                if verbose:
-                    print("%d/%d" % (len(lmsg), len(linput)), [lmsg[-1]])
+        def consume(feats, item, msg):
+            mspec, loge, t, difflen = feats
+            b = time.time()
+            lseg = self._fused_segment(mspec, loge, t, difflen, 0)
+            fexport(lseg, item[1])
+            return (msg[0], msg[1], "ok " + str(time.time() - b))
 
-        t_batch_dur = time.time() - t_batch_start
-        nb_processed = len([e for e in lmsg if e[1] == 0])
-        avg = t_batch_dur / nb_processed if nb_processed > 0 else -1
-        return t_batch_dur, nb_processed, avg, lmsg
+        # Shared depth-N prefetch driver (utils/prefetch.py): the next
+        # files' decode+features overlap the current file's device
+        # inference, and a bad destination fails that one file's status
+        # tuple instead of the batch.
+        return run_prefetched(list(zip(linput, loutput)), produce, consume,
+                              verbose=verbose)
 
 
 _LINK_MBPS = None

@@ -59,7 +59,7 @@ class Trainer:
             lambda a, s: jax.device_put(jnp.asarray(a), s), params,
             self._pshard)
         self.opt_state = self.optimizer.init(self.params)
-        self._data_shard = NamedSharding(mesh, P("data"))
+        self._data_n = int(mesh.shape["data"])
 
         def loss_fn(p, x, y):
             logits = self.forward(p, x)
@@ -77,8 +77,15 @@ class Trainer:
         self._step = step
 
     def shard_batch(self, x, y):
-        return (jax.device_put(jnp.asarray(x), self._data_shard),
-                jax.device_put(jnp.asarray(y), self._data_shard))
+        x = jnp.asarray(x)
+        if x.shape[0] % self._data_n:
+            raise ValueError(
+                f"batch size {x.shape[0]} is not divisible by the mesh "
+                f"data axis ({self._data_n}); use fit(), which rounds the "
+                "batch size to a mesh-divisible value")
+        from ..parallel.mesh import shard_batch as _shard
+
+        return _shard(self.mesh, x), _shard(self.mesh, jnp.asarray(y))
 
     def train_step(self, x, y):
         """One sharded optimization step; returns the scalar loss."""
@@ -93,12 +100,21 @@ class Trainer:
         The tail partial batch of each epoch is dropped (static-shape
         steps); a batch_size larger than the dataset is clamped to the
         dataset so small datasets still train instead of silently running
-        zero steps.
+        zero steps.  Batch sizes are rounded down to a multiple of the
+        mesh data axis (sharding requires divisibility); a dataset smaller
+        than the data axis is tiled up to it so it still trains.
         """
         n = len(x)
         if n == 0:
             return []
+        d = self._data_n
+        if n < d:
+            reps = -(-d // n)
+            x = np.concatenate([np.asarray(x)] * reps)[:d]
+            y = np.concatenate([np.asarray(y)] * reps)[:d]
+            n = d
         batch_size = min(batch_size or n, n)
+        batch_size = max(d, batch_size - batch_size % d)
         rng = np.random.default_rng(shuffle_seed)
         losses = []
         for _ in range(epochs):

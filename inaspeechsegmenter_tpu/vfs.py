@@ -89,7 +89,6 @@ class JaxResnetExtractor:
             self._sharded_fwd = jax.jit(
                 self.net.forward,
                 in_shardings=(rep, data), out_shardings=data)
-            self._rep = rep
         if params is not None:
             self.params = params
         else:
@@ -305,17 +304,23 @@ class VoiceFemininityScoring:
         # feature input
         sig = media2sig16kmono(fpath, ffmpeg=self.ffmpeg, dtype="auto")
         pcm = None
+        signal = None
         if sig.dtype == np.int16:
-            signal = sig.astype(np.float64) / 32768.0
             # the VAD upload doubles as the VBx feature input: ask the
-            # segmenter to keep its device-resident PCM buffers
+            # segmenter to keep its device-resident PCM buffers.  The
+            # float64 view is only materialized if the device-PCM fast
+            # path is unavailable (it costs 8 bytes/sample host-side).
             vad_seg, pcm = self.vad.segment_signal(sig, 0, fpath,
                                                    return_pcm=True)
         else:
+            # non-PCM16 source: reference two-decode behavior (float64 for
+            # features; the VAD consumes the already-decoded 'auto' signal
+            # instead of decoding the file a third time)
             signal = media2sig16kmono(fpath, ffmpeg=self.ffmpeg,
                                       dtype="float64")
-            vad_seg = self.vad(fpath)
-        duration = len(signal) / SR
+            vad_seg = self.vad.segment_signal(sig, 0, fpath)
+        n_samples = len(sig)
+        duration = n_samples / SR
         timeline = SpeechTimeline.from_vad(vad_seg)
         speech_duration = timeline.total_duration()
 
@@ -323,10 +328,12 @@ class VoiceFemininityScoring:
         if speech_duration:
             # stays device-resident: the extractor gathers its windows on
             # device (embeddings_from_features) — no host round trip
-            if (pcm is not None and len(signal) >= 400
+            if (pcm is not None and n_samples >= 400
                     and _vbx_i16_enabled()):
-                fea = self.features.features_from_pcm(pcm, len(signal))
+                fea = self.features.features_from_pcm(pcm, n_samples)
             else:
+                if signal is None:
+                    signal = sig.astype(np.float64) / 32768.0
                 fea = self.features.features(signal)
         return basename, fea, timeline, duration, speech_duration
 
@@ -380,14 +387,12 @@ class VoiceFemininityScoring:
         segmenter.py:377-387 — its VFS pipeline has no such overlap).
         """
         import time
-        from concurrent.futures import ThreadPoolExecutor
 
+        from .utils.prefetch import run_prefetched
         from .utils.retry import retry_call
 
-        t0 = time.time()
-        lmsg = []
-
-        def produce(src, dst):
+        def produce(item):
+            src, dst = item
             if skipifexist and os.path.exists(dst):
                 return None, (dst, 1, "already exists")
             dname = os.path.dirname(dst)
@@ -399,42 +404,31 @@ class VoiceFemininityScoring:
                 return None, (dst, 2, "error: " + str(err))
             return prepared, (dst, 0, "ok")
 
-        lin = list(zip(linput, loutput))
-        default_depth = "2" if (os.cpu_count() or 1) >= 4 else "1"
-        depth = max(1, int(os.environ.get("ISS_PREFETCH", default_depth)))
-        with ThreadPoolExecutor(max_workers=depth) as pool:
-            futs = {i: pool.submit(produce, *lin[i])
-                    for i in range(min(depth, len(lin)))}
-            for i, (src, dst) in enumerate(lin):
-                prepared, msg = futs.pop(i).result()
-                if i + depth < len(lin):
-                    futs[i + depth] = pool.submit(produce, *lin[i + depth])
-                lmsg.append(msg)
-                if prepared is not None:
-                    b = time.time()
-                    # the scoring phase gets the same nbtry/trydelay
-                    # budget as _prepare (the reference retried the whole
-                    # file, segmenter.py:360-368): transient device/link
-                    # errors during the ResNet/MLP must not permanently
-                    # fail a corpus file
-                    result, err = retry_call(
-                        lambda: self._score_prepared(prepared),
-                        nbtry=nbtry, trydelay=trydelay)
-                    if result is None:
-                        lmsg[-1] = (dst, 2, "error: " + str(err))
-                    else:
-                        score, speech_dur, n_vec = result
-                        with open(dst, "w") as fh:
-                            fh.write("score\tspeech_duration\tnb_vectors\n")
-                            fh.write("%s\t%s\t%d\n" % (
-                                "" if score is None else repr(float(score)),
-                                repr(float(speech_dur)), n_vec))
-                        lmsg[-1] = (dst, 0, "ok " + str(time.time() - b))
-                if verbose:
-                    print("%d/%d" % (len(lmsg), len(linput)), [lmsg[-1]])
-        dur = time.time() - t0
-        n_ok = len([e for e in lmsg if e[1] == 0])
-        return dur, n_ok, dur / n_ok if n_ok else -1, lmsg
+        def consume(prepared, item, msg):
+            dst = item[1]
+            b = time.time()
+            # the scoring phase gets the same nbtry/trydelay budget as
+            # _prepare (the reference retried the whole file,
+            # segmenter.py:360-368): transient device/link errors during
+            # the ResNet/MLP must not permanently fail a corpus file
+            result, err = retry_call(
+                lambda: self._score_prepared(prepared),
+                nbtry=nbtry, trydelay=trydelay)
+            if result is None:
+                return (dst, 2, "error: " + str(err))
+            score, speech_dur, n_vec = result
+            with open(dst, "w") as fh:
+                fh.write("score\tspeech_duration\tnb_vectors\n")
+                fh.write("%s\t%s\t%d\n" % (
+                    "" if score is None else repr(float(score)),
+                    repr(float(speech_dur)), n_vec))
+            return (dst, 0, "ok " + str(time.time() - b))
+
+        # Shared depth-N prefetch driver (utils/prefetch.py): decode+VAD+
+        # features of the next files overlap the current file's ResNet,
+        # and an unwritable destination fails that one file, not the batch.
+        return run_prefetched(list(zip(linput, loutput)), produce, consume,
+                              verbose=verbose)
 
     def batch_process(self, linput, loutput, verbose=False, skipifexist=False,
                       nbtry=1, trydelay=2., output_format="csv"):

@@ -96,7 +96,8 @@ double sample_at(const WavInfo& w, int64_t frame, int32_t ch) {
     case 24: {
       p = w.data + idx * 3;
       int32_t v = (int32_t)p[0] | ((int32_t)p[1] << 8) | ((int32_t)p[2] << 16);
-      v = (v << 8) >> 8;
+      // sign-extend bit 23 without shifting into the sign bit (UB pre-C++20)
+      if (v & 0x800000) v -= 0x1000000;
       return v / 8388608.0;
     }
     case 32:

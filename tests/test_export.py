@@ -37,3 +37,14 @@ def test_frame_time_arithmetic():
     assert repr(0 + 1124 * .02) == "22.48"
     assert repr(0 + 1454 * .02) == "29.080000000000002"
     assert repr(0 + 2640 * .02) == "52.800000000000004"
+
+
+def test_textgrid_empty_lseg(tmp_path):
+    """An empty segmentation exports an empty 0-duration tier instead of
+    crashing (reachable via batch_process(output_format='textgrid') on a
+    filtered-to-empty result)."""
+    out = str(tmp_path / "empty.TextGrid")
+    seg2textgrid([], out)
+    body = open(out).read()
+    assert "intervals: size = 0" in body
+    assert "xmin = 0.000000" in body and "xmax = 0.000000" in body

@@ -212,3 +212,19 @@ def test_streaming_short_file_falls_back(seg_smn, tmp_path):
                               32767).astype(np.int16), 16000)
     out = seg_smn(str(p))
     assert out and abs(out[-1][2] - 0.98) < 0.05
+
+
+def test_batch_process_bad_destination(seg_smn, media_dir, tmp_path):
+    """A failing export (dst is a directory) yields that file's (dst, 2,
+    'error: ...') tuple instead of aborting the batch."""
+    import os
+
+    bad = str(tmp_path / "is_a_dir.csv")
+    os.makedirs(bad)
+    inputs = [f"{media_dir}/silence2sec.wav", f"{media_dir}/silence2sec.wav"]
+    outputs = [bad, str(tmp_path / "ok.csv")]
+    _, n_ok, _, msgs = seg_smn.batch_process(inputs, outputs, nbtry=1)
+    assert [m[1] for m in msgs] == [2, 0]
+    assert n_ok == 1
+    assert msgs[0][2].startswith("error:")
+    assert os.path.exists(outputs[1])

@@ -85,3 +85,36 @@ def test_checkpoint_resume(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         c.restore_checkpoint(ckpt)
+
+
+def test_fit_batch_not_divisible_by_mesh():
+    """fit() must round batch sizes to the mesh data axis and tile datasets
+    smaller than it — a 10-sample dataset on a data=4 mesh used to crash in
+    jax.device_put with a divisibility ValueError before any step ran."""
+    import numpy as np
+
+    from inaspeechsegmenter_tpu.models.synthetic import build_gender_mlp
+    from inaspeechsegmenter_tpu.parallel.mesh import make_2d_mesh
+    from inaspeechsegmenter_tpu.train import Trainer
+
+    spec, params = build_gender_mlp(in_dim=8, hidden=16, seed=0)
+    spec["layers"][-1]["config"]["units"] = 2
+    rngp = np.random.default_rng(0)
+    params["out"] = [rngp.standard_normal((16, 2)).astype(np.float32) * 0.1,
+                     np.zeros(2, np.float32)]
+    mesh = make_2d_mesh(data=4, model=1)
+    trainer = Trainer(spec, params, mesh=mesh)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((10, 8)).astype(np.float32)
+    y = (x[:, 0] > 0).astype(np.int32)
+    losses = trainer.fit(x, y, epochs=2)          # batch 10 -> 8
+    assert losses and np.isfinite(losses).all()
+    losses = trainer.fit(x, y, epochs=1, batch_size=6)   # -> 4
+    assert len(losses) == 2                        # two 4-sample steps
+    # dataset smaller than the data axis: tiled up, still trains
+    losses = trainer.fit(x[:3], y[:3], epochs=1)
+    assert losses and np.isfinite(losses).all()
+    # explicit shard_batch keeps the clear divisibility error
+    import pytest
+    with pytest.raises(ValueError, match="not divisible"):
+        trainer.shard_batch(x, y)

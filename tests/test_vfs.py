@@ -223,3 +223,20 @@ def test_score_prepared_empty_after_apply_vad(vfs):
                                          sliver.total_duration()))
     assert score is None and n == 0
     assert dur == sliver.total_duration() > 0
+
+
+def test_batch_score_bad_destination(vfs, media_dir, tmp_path):
+    """An unwritable destination fails THAT file's status tuple; the rest of
+    the corpus still scores (the write used to escape the prefetch loop and
+    abort the whole batch, losing all accumulated statuses)."""
+    import os
+
+    bad = str(tmp_path / "is_a_dir.csv")
+    os.makedirs(bad)
+    ins = [f"{media_dir}/lamartine.wav", f"{media_dir}/silence2sec.wav"]
+    outs = [bad, str(tmp_path / "ok.csv")]
+    _, n_ok, _, lmsg = vfs.batch_score(ins, outs, nbtry=1, trydelay=0.01)
+    assert [m[1] for m in lmsg] == [2, 0]
+    assert n_ok == 1
+    assert lmsg[0][2].startswith("error:")
+    assert os.path.exists(outs[1])
