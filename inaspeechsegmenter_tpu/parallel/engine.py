@@ -61,6 +61,34 @@ class ParallelEngine:
                           data_sharding, data_sharding, data_sharding),
             out_shardings=data_sharding)
 
+    def __call__(self, medianame, start_sec=None, stop_sec=None):
+        """Single-file segmentation with the file's timeline sharded over
+        the mesh -> [(label, start_s, stop_s)].
+
+        Sequence-parallel counterpart to `Segmenter.__call__`: the
+        dominant patch-CNN emissions are computed chip-parallel over the
+        file's feature chunks (pipeline.run_sharded) — the latency answer
+        for ONE long file on a pod, where `segment_many`'s file-level
+        data parallelism has nothing to shard.  Output is identical to
+        the single-device path (tests/test_sharded_file.py).
+        """
+        feats = self.seg._media2feats(medianame, start_sec, stop_sec)
+        return self.segment_feats_sharded(
+            *feats, 0 if start_sec is None else start_sec)
+
+    def segment_feats_sharded(self, mspec_dev, loge_dev, t, difflen,
+                              start_sec=0):
+        """Sharded-timeline decode of prepared features -> lseg."""
+        n_frames_patch, n20 = patch_counts(t, difflen)
+        ids = self.seg.pipeline.run_sharded(
+            self.seg.vad.model.params,
+            self.seg.gender.model.params if self.seg.detect_gender else None,
+            mspec_dev, loge_dev, t, n_frames_patch, n20, self.mesh)
+        ids = np.asarray(ids)[:n20]
+        return [(self.seg.labels[lab], start_sec + start * .02,
+                 start_sec + stop * .02)
+                for lab, start, stop in rle(ids)]
+
     def segment_many(self, feats_list):
         """Segment a list of (mspec_pad, loge_pad, t, difflen) with one
         sharded dispatch per device-sized group; returns label-id arrays."""

@@ -90,6 +90,7 @@ class FusedPipeline:
         self.v_init = jnp.full((self.vad_nout,),
                                float(np.log(1.0 / self.vad_nout)), jnp.float32)
         self._jit_run = None
+        self._sharded_progs = {}
         self._jit_vad_chunk = None
         self._jit_g_chunk = None
         self._jit_tail = None
@@ -332,6 +333,109 @@ class FusedPipeline:
         mspec_pad = jnp.concatenate([m for m, _ in chunks])
         loge_pad = jnp.concatenate([l for _, l in chunks])
         probs_g = jnp.concatenate(probs_gl) if spec_gender else None
+        return self._jit_tail(vad_params, g_params, mspec_pad, loge_pad,
+                              probs_v, jnp.int32(n_frames),
+                              jnp.int32(n_frames_patch), jnp.int32(n20),
+                              probs_g)
+
+    # -- sequence-parallel single-file path ---------------------------------
+    #
+    # The multi-file engine (parallel/engine.py) shards *files* over the
+    # mesh; this shards ONE file's timeline: the feature rows are split
+    # into the streaming path's halo'd chunks and each device computes the
+    # patch-CNN emissions for its slice (`jax.shard_map`, no collectives —
+    # per-chunk emissions are independent, exactly the batch the reference
+    # ships to one GPU at segmenter.py:162-163).  The cheap sequential
+    # stages (energy/VAD/gender Viterbi, O(T) with K<=3 state) run in the
+    # replicated streaming tail program.  Gender emissions are computed
+    # speculatively over all chunks (segment-independent per-patch
+    # normalization, reference segmenter.py:86): exactly equal on every
+    # frame the masked gender Viterbi reads.
+
+    def _sharded_chunk_prog(self, mesh):
+        """jitted shard_map: (vad_params, g_params, wins) -> per-chunk CNN
+        probs, chunk axis sharded over the mesh 'data' axis."""
+        prog = self._sharded_progs.get(mesh)
+        if prog is not None:
+            return prog
+        from jax.sharding import PartitionSpec as P
+
+        axis = "data" if "data" in mesh.axis_names else mesh.axis_names[0]
+
+        def chunk_probs(forward, nmel, params, win):
+            h = STREAM_HALO
+            return self._chunk_probs_impl(
+                forward, nmel, params, win[:h], win[h:win.shape[0] - h],
+                win[win.shape[0] - h:], False)
+
+        with_gender = self.gender is not None
+
+        def body(vp, gp, wins):
+            # lax.map (not vmap) over this device's chunks: activation
+            # memory stays bounded at one chunk's CNN batch regardless of
+            # file length
+            pv = jax.lax.map(
+                lambda w: chunk_probs(self.vad_forward, self.vad_nmel,
+                                      vp, w), wins)
+            if with_gender:
+                pg = jax.lax.map(
+                    lambda w: chunk_probs(self.g_forward, self.g_nmel,
+                                          gp, w), wins)
+                return pv, pg
+            return (pv,)
+
+        prog = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(axis)), out_specs=P(axis)))
+        self._sharded_progs[mesh] = prog
+        return prog
+
+    def run_sharded(self, vad_params, g_params, mspec_pad, loge_pad,
+                    n_frames, n_frames_patch, n20, mesh):
+        """Sequence-parallel execution of one file over ``mesh``.
+
+        Labels are identical to `run` / `run_streaming`
+        (tests/test_sharded_file.py): the chunk decomposition is the
+        exactness-proven streaming one, with chunk 0's left replicate
+        edge repaired afterwards — frames < LPAD are overwritten with
+        frame LPAD's emission, the very value the dedicated first-chunk
+        branch selects for them (both are window 0's prediction,
+        reference segmenter.py:83-85).
+        """
+        from .dsp.sidekit import CHUNK
+
+        t_rows, nmel_all = mspec_pad.shape
+        # t_rows need not be a CHUNK multiple: rows past the file are zeros
+        # in the chunk windows, and every emission that would read them is a
+        # replicate-edge frame the tail repairs (_fix_right_edge) or lies
+        # past t20 and is sliced off
+        assert t_rows % 2 == 0, t_rows
+        axis = "data" if "data" in mesh.axis_names else mesh.axis_names[0]
+        n_shard = mesh.shape[axis]
+        n_chunks = -(-t_rows // CHUNK)
+        n_pad = -(-n_chunks // n_shard) * n_shard
+        # halo'd chunk windows gathered on device: rows
+        # [i*CHUNK - HALO, (i+1)*CHUNK + HALO) with zeros outside the file
+        # (identical to run_streaming's zero prev/next tails)
+        ext = jnp.zeros((n_pad * CHUNK + 2 * STREAM_HALO, nmel_all),
+                        mspec_pad.dtype)
+        ext = jax.lax.dynamic_update_slice(
+            ext, mspec_pad, (STREAM_HALO, 0))
+        idx = ((jnp.arange(n_pad) * CHUNK)[:, None]
+               + jnp.arange(CHUNK + 2 * STREAM_HALO)[None, :])
+        wins = ext[idx]
+
+        out = self._sharded_chunk_prog(mesh)(vad_params, g_params, wins)
+        t20 = t_rows // 2
+
+        def fix_left(p):
+            p = p.reshape(n_pad * (CHUNK // 2), -1)[:t20]
+            return p.at[:LPAD].set(p[LPAD])
+
+        probs_v = fix_left(out[0])
+        probs_g = fix_left(out[1]) if self.gender is not None else None
+        if self._jit_tail is None:
+            self._jit_tail = jax.jit(self._tail_impl)
         return self._jit_tail(vad_params, g_params, mspec_pad, loge_pad,
                               probs_v, jnp.int32(n_frames),
                               jnp.int32(n_frames_patch), jnp.int32(n20),
