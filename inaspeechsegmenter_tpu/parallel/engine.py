@@ -80,14 +80,14 @@ class ParallelEngine:
                               start_sec=0):
         """Sharded-timeline decode of prepared features -> lseg."""
         n_frames_patch, n20 = patch_counts(t, difflen)
-        ids = self.seg.pipeline.run_sharded(
-            self.seg.vad.model.params,
-            self.seg.gender.model.params if self.seg.detect_gender else None,
-            mspec_dev, loge_dev, t, n_frames_patch, n20, self.mesh)
-        ids = np.asarray(ids)[:n20]
-        return [(self.seg.labels[lab], start_sec + start * .02,
-                 start_sec + stop * .02)
-                for lab, start, stop in rle(ids)]
+        with self.seg.timers.time("segment"):
+            ids = self.seg.pipeline.run_sharded(
+                self.seg.vad.model.params,
+                self.seg.gender.model.params if self.seg.detect_gender
+                else None,
+                mspec_dev, loge_dev, t, n_frames_patch, n20, self.mesh)
+            ids = np.asarray(ids)[:n20]
+        return self.seg.ids_to_lseg(ids, start_sec)
 
     def segment_many(self, feats_list):
         """Segment a list of (mspec_pad, loge_pad, t, difflen) with one
@@ -188,9 +188,7 @@ class ParallelEngine:
                     done += 1
                     if feats is not None:
                         b = time.time()
-                        lseg = [(self.seg.labels[lab], start * .02,
-                                 stop * .02)
-                                for lab, start, stop in rle(res_by_idx[i])]
+                        lseg = self.seg.ids_to_lseg(res_by_idx[i])
                         fexport(lseg, batch[i][2])
                         lmsg[pos] = (msg[0], msg[1],
                                      "ok " + str(time.time() - b))

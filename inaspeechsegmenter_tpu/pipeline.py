@@ -353,14 +353,24 @@ class FusedPipeline:
     # frame the masked gender Viterbi reads.
 
     def _sharded_chunk_prog(self, mesh):
-        """jitted shard_map: (vad_params, g_params, wins) -> per-chunk CNN
-        probs, chunk axis sharded over the mesh 'data' axis."""
+        """jitted shard_map: (vad_params, g_params, mspec_pad) -> per-chunk
+        CNN probs, chunk axis sharded over the mesh 'data' axis.
+
+        The halo'd windows are built INSIDE the mapped body: ``mspec_pad``
+        arrives replicated (one broadcast over ICI) and each device gathers
+        only its own chunk windows via `lax.axis_index` — no serial
+        full-file window materialization on one chip followed by a
+        resharding of the whole tensor, which would put an O(file) copy on
+        the single-file latency path this mode exists to shorten."""
         prog = self._sharded_progs.get(mesh)
         if prog is not None:
             return prog
         from jax.sharding import PartitionSpec as P
 
+        from .dsp.sidekit import CHUNK
+
         axis = "data" if "data" in mesh.axis_names else mesh.axis_names[0]
+        n_shard = mesh.shape[axis]
 
         def chunk_probs(forward, nmel, params, win):
             h = STREAM_HALO
@@ -370,7 +380,21 @@ class FusedPipeline:
 
         with_gender = self.gender is not None
 
-        def body(vp, gp, wins):
+        def body(vp, gp, mspec_pad):
+            # per-device window build: rows [i*CHUNK - HALO,
+            # (i+1)*CHUNK + HALO) with zeros outside the file (identical
+            # to run_streaming's zero prev/next tails)
+            t_rows, nmel_all = mspec_pad.shape
+            n_chunks = -(-t_rows // CHUNK)
+            per_dev = -(-n_chunks // n_shard)
+            ext = jnp.zeros((per_dev * n_shard * CHUNK + 2 * STREAM_HALO,
+                             nmel_all), mspec_pad.dtype)
+            ext = jax.lax.dynamic_update_slice(
+                ext, mspec_pad, (STREAM_HALO, 0))
+            base = jax.lax.axis_index(axis) * (per_dev * CHUNK)
+            idx = (base + (jnp.arange(per_dev) * CHUNK)[:, None]
+                   + jnp.arange(CHUNK + 2 * STREAM_HALO)[None, :])
+            wins = ext[idx]
             # lax.map (not vmap) over this device's chunks: activation
             # memory stays bounded at one chunk's CNN batch regardless of
             # file length
@@ -386,7 +410,7 @@ class FusedPipeline:
 
         prog = jax.jit(jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(), P(), P(axis)), out_specs=P(axis)))
+            in_specs=(P(), P(), P()), out_specs=P(axis)))
         self._sharded_progs[mesh] = prog
         return prog
 
@@ -404,7 +428,7 @@ class FusedPipeline:
         """
         from .dsp.sidekit import CHUNK
 
-        t_rows, nmel_all = mspec_pad.shape
+        t_rows, _ = mspec_pad.shape
         # t_rows need not be a CHUNK multiple: rows past the file are zeros
         # in the chunk windows, and every emission that would read them is a
         # replicate-edge frame the tail repairs (_fix_right_edge) or lies
@@ -414,18 +438,8 @@ class FusedPipeline:
         n_shard = mesh.shape[axis]
         n_chunks = -(-t_rows // CHUNK)
         n_pad = -(-n_chunks // n_shard) * n_shard
-        # halo'd chunk windows gathered on device: rows
-        # [i*CHUNK - HALO, (i+1)*CHUNK + HALO) with zeros outside the file
-        # (identical to run_streaming's zero prev/next tails)
-        ext = jnp.zeros((n_pad * CHUNK + 2 * STREAM_HALO, nmel_all),
-                        mspec_pad.dtype)
-        ext = jax.lax.dynamic_update_slice(
-            ext, mspec_pad, (STREAM_HALO, 0))
-        idx = ((jnp.arange(n_pad) * CHUNK)[:, None]
-               + jnp.arange(CHUNK + 2 * STREAM_HALO)[None, :])
-        wins = ext[idx]
 
-        out = self._sharded_chunk_prog(mesh)(vad_params, g_params, wins)
+        out = self._sharded_chunk_prog(mesh)(vad_params, g_params, mspec_pad)
         t20 = t_rows // 2
 
         def fix_left(p):

@@ -195,6 +195,15 @@ class Segmenter:
         mspec, difflen = short_media_pad(mspec, t, medianame)
         return mspec, loge, t, difflen
 
+    def ids_to_lseg(self, ids, start_sec=0.0):
+        """Frame-label ids (20 ms hop) -> [(label, start_s, stop_s)].
+
+        The single frame->seconds conversion shared by every decode
+        surface (fused, streaming, batch engine, sequence-parallel)."""
+        return [(self.labels[lab], start_sec + start * .02,
+                 start_sec + stop * .02)
+                for lab, start, stop in rle(ids)]
+
     def _fused_segment(self, mspec_dev, loge_dev, t, difflen, start_sec):
         n_frames_patch, n20 = patch_counts(t, difflen)
         with self.timers.time("segment"):
@@ -203,9 +212,7 @@ class Segmenter:
                 self.gender.model.params if self.detect_gender else None,
                 mspec_dev, loge_dev, t, n_frames_patch, n20)
             ids = np.asarray(ids)[:n20]
-        return [(self.labels[lab], start_sec + start * .02,
-                 start_sec + stop * .02)
-                for lab, start, stop in rle(ids)]
+        return self.ids_to_lseg(ids, start_sec)
 
     # ------------------------------------------------------------------
     def segment_feats(self, mspec, loge, difflen, start_sec):
@@ -286,8 +293,7 @@ class Segmenter:
                     self.gender.model.params if self.detect_gender else None,
                     chunks, t, t, n20)
                 ids = np.asarray(ids)[:n20]
-            ret = [(self.labels[lab], s0 + start * .02, s0 + stop * .02)
-                   for lab, start, stop in rle(ids)]
+            ret = self.ids_to_lseg(ids, s0)
             return (ret, pcm) if return_pcm else ret
         # short or single-chunk media: fused whole-file program
         mspec = jnp.concatenate([m for m, _ in chunks])

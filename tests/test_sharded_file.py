@@ -110,6 +110,19 @@ def test_sharded_no_gender(synthetic_model_dir, engine, rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_sharded_short_media_difflen(seg, engine, rng):
+    """t < 68 frames (difflen > 0): the one branch where the replicate
+    left-edge repair and _fix_right_edge overlap (a single patch row
+    covers the whole file) — via the user-level feats contract."""
+    with pytest.warns(UserWarning, match="duration is short"):
+        sig = (rng.standard_normal(8000) * 3000).astype(np.int16)  # 0.5 s
+        feats = seg._sig2feats(sig, "<short>")
+    assert feats[3] > 0  # difflen: the 68-frame pad path is exercised
+    want = seg._fused_segment(*feats, 0)
+    got = engine.segment_feats_sharded(*feats, 0)
+    assert got == want
+
+
 def test_engine_call_matches_segmenter(seg, engine, media_dir):
     """User surface: engine(file) == seg(file), including non-finite
     feature frames (real media) and the short-file pad path."""
