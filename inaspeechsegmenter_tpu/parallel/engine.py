@@ -8,6 +8,11 @@ program, batch axis sharded over the mesh data axis, params replicated).
 Files are grouped by length bucket so one compiled program serves each
 group; host decode + feature staging for the next group overlaps device
 execution of the current one.
+
+A single file (where file-level data parallelism has nothing to shard)
+instead has its TIMELINE sharded over the mesh: `__call__` /
+`segment_feats_sharded` dispatch `pipeline.run_sharded`, and
+`batch_process` routes one-file batches through it automatically.
 """
 
 from __future__ import annotations
@@ -23,7 +28,6 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..export import seg2csv, seg2textgrid
-from ..pipeline import rle
 from ..segmenter import patch_counts
 from ..utils.retry import retry_call
 from .mesh import make_mesh
@@ -164,6 +168,23 @@ class ParallelEngine:
             if feats is None:
                 return None, (dst, 2, "error: " + str(err))
             return feats, (dst, 0, "ok")
+
+        # a single file can't use file-level data parallelism — shard its
+        # TIMELINE over the mesh instead (identical labels, proven in
+        # tests/test_sharded_file.py) so the chips still all contribute
+        if len(todo) == 1:
+            pos, _, dst = todo[0]
+            feats, msg = stage(todo[0])
+            lmsg[pos] = msg
+            if feats is not None:
+                b = time.time()
+                fexport(self.segment_feats_sharded(*feats), dst)
+                lmsg[pos] = (msg[0], msg[1], "ok " + str(time.time() - b))
+            if verbose:
+                print("1/1", [lmsg[pos]])
+            dur = time.time() - t0
+            n_ok = len([e for e in lmsg if e is not None and e[1] == 0])
+            return dur, n_ok, dur / n_ok if n_ok else -1, lmsg
 
         # process in device-sized groups; stage the next group's features on
         # a worker thread while the current group runs on the mesh

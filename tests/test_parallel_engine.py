@@ -57,6 +57,30 @@ def test_engine_batch_process(seg, media_dir, tmp_path):
         (tmp_path / "m_single.csv").read_text()
 
 
+def test_engine_batch_process_single_file(seg, media_dir, tmp_path):
+    """One todo file routes through the sequence-parallel timeline shard;
+    csv must byte-match the single-device path and status tuples keep the
+    reference contract (including a skipped slot)."""
+    from inaspeechsegmenter_tpu.parallel import ParallelEngine
+
+    engine = ParallelEngine(seg)
+    inputs = [f"{media_dir}/musanmix.wav", f"{media_dir}/silence2sec.wav"]
+    outputs = [str(tmp_path / "m.csv"), str(tmp_path / "skip.csv")]
+    (tmp_path / "skip.csv").write_text("preexisting\n")
+    _, n_ok, _, msgs = engine.batch_process(inputs, outputs,
+                                            skipifexist=True)
+    assert n_ok == 1
+    assert [m[1] for m in msgs] == [0, 1]
+    seg.batch_process([inputs[0]], [str(tmp_path / "m_single.csv")])
+    assert (tmp_path / "m.csv").read_text() == \
+        (tmp_path / "m_single.csv").read_text()
+    # error containment: a sole missing file reports status 2, no export
+    _, n_ok, _, msgs = engine.batch_process(
+        ["/nope.wav"], [str(tmp_path / "n.csv")])
+    assert n_ok == 0 and msgs[0][1] == 2
+    assert not (tmp_path / "n.csv").exists()
+
+
 def test_engine_status_order_with_skips(seg, media_dir, tmp_path):
     """Status tuples keep input order even when skipifexist skips some
     entries in the middle (reference contract: positional zip)."""
