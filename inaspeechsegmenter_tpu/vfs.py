@@ -305,7 +305,16 @@ class VoiceFemininityScoring:
         sig = media2sig16kmono(fpath, ffmpeg=self.ffmpeg, dtype="auto")
         pcm = None
         signal = None
-        if sig.dtype == np.int16:
+        if not hasattr(self.vad, "segment_signal"):
+            # reference duck-type contract: `vad` is simply CALLED with the
+            # path (vbx_segmenter.py:164 `self.vad(fpath)`), so a plain
+            # callable can be injected in its place — keep that working
+            # (the shared-decode fast paths below need a Segmenter)
+            if sig.dtype != np.int16:
+                signal = media2sig16kmono(fpath, ffmpeg=self.ffmpeg,
+                                          dtype="float64")
+            vad_seg = self.vad(fpath)
+        elif sig.dtype == np.int16:
             # the VAD upload doubles as the VBx feature input: ask the
             # segmenter to keep its device-resident PCM buffers.  The
             # float64 view is only materialized if the device-PCM fast

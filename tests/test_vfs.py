@@ -79,6 +79,29 @@ def test_vfs_end_to_end(vfs, media_dir):
         assert speech_dur > 0
 
 
+def test_vfs_injected_vad_callable(vfs, media_dir):
+    """Reference duck-type contract (vbx_segmenter.py:164): `vad` is
+    called with the PATH, so a plain callable can replace the Segmenter
+    (how the strict shared-VAD oracle test pins both frameworks to one
+    timeline).  Must not require Segmenter-only surface like
+    segment_signal."""
+    calls = []
+
+    def fake_vad(p):
+        calls.append(p)
+        return [("speech", 0.0, 8.0), ("noEnergy", 8.0, 15.0)]
+
+    old = vfs.vad
+    vfs.vad = fake_vad
+    try:
+        score, speech_dur, n = vfs(f"{media_dir}/lamartine.wav")
+    finally:
+        vfs.vad = old
+    assert calls and calls[0].endswith("lamartine.wav")
+    assert abs(speech_dur - 8.0) < 1e-9
+    assert n > 0 and 0.0 <= score <= 1.0
+
+
 def test_vfs_silence(vfs, media_dir):
     """Silence has no speech -> (None, 0, 0), weight-independent."""
     score, speech_dur, n = vfs(f"{media_dir}/silence2sec.wav")
