@@ -56,6 +56,21 @@ def get_femininity_score(g_preds):
     return sum(1 for _, _, p in g_preds if p >= 0.5) / len(g_preds)
 
 
+def _accepts_timeline(extractor):
+    """True if the x-vector extractor takes a ``timeline`` kwarg (our
+    speech-only fast path).  Reference-style extractors are called with
+    exactly (basename, features, duration) — vbx_segmenter.py:182."""
+    import inspect
+
+    try:
+        params = inspect.signature(extractor).parameters
+    except (TypeError, ValueError):
+        return False
+    return ("timeline" in params
+            or any(p.kind == inspect.Parameter.VAR_KEYWORD
+                   for p in params.values()))
+
+
 class JaxResnetExtractor:
     """Batched x-vector extractor (replaces OnnxBackendExtractor).
 
@@ -352,8 +367,16 @@ class VoiceFemininityScoring:
         basename, fea, timeline, duration, speech_duration = prepared
         if not speech_duration:
             return None, speech_duration, 0
-        x_vectors = self.xvector_model(basename, fea, duration,
-                                       timeline=timeline)
+        if _accepts_timeline(self.xvector_model):
+            # speech-only extraction: midpoint-filtered windows (exact,
+            # non-speech-midpoint windows can never be kept or back-filled)
+            x_vectors = self.xvector_model(basename, fea, duration,
+                                           timeline=timeline)
+        else:
+            # reference duck-type contract (vbx_segmenter.py:182): the
+            # extractor is called with exactly (basename, features,
+            # duration) — keep injected reference-style extractors working
+            x_vectors = self.xvector_model(basename, fea, duration)
         x_vectors = self.apply_vad(x_vectors, timeline)
         if not x_vectors:
             # a speech sliver can leave no window midpoint in speech (then

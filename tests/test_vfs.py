@@ -102,6 +102,31 @@ def test_vfs_injected_vad_callable(vfs, media_dir):
     assert n > 0 and 0.0 <= score <= 1.0
 
 
+def test_vfs_injected_extractor_callable(vfs, media_dir):
+    """Reference duck-type contract (vbx_segmenter.py:182): the x-vector
+    extractor is called with exactly (basename, features, duration) — a
+    reference-style 3-arg callable must keep working even though ours
+    takes an extra speech-only `timeline` kwarg."""
+    def fake_extractor(basename, fea, duration):
+        return [(f"{basename}_w0", (0.0, 1.44), np.ones(4, np.float32)),
+                (f"{basename}_w1", (0.24, 1.68), np.ones(4, np.float32))]
+
+    def fake_mlp(x):
+        return np.full((len(x), 1), 0.9, np.float32)
+
+    old_x, old_mlp, old_vad = (vfs.xvector_model,
+                               vfs.gender_detection_mlp_model, vfs.vad)
+    vfs.xvector_model = fake_extractor
+    vfs.gender_detection_mlp_model = fake_mlp
+    vfs.vad = lambda p: [("speech", 0.0, 15.0)]
+    try:
+        score, speech_dur, n = vfs(f"{media_dir}/lamartine.wav")
+    finally:
+        vfs.xvector_model, vfs.gender_detection_mlp_model, vfs.vad = (
+            old_x, old_mlp, old_vad)
+    assert n == 2 and score == 1.0
+
+
 def test_vfs_silence(vfs, media_dir):
     """Silence has no speech -> (None, 0, 0), weight-independent."""
     score, speech_dur, n = vfs(f"{media_dir}/silence2sec.wav")
