@@ -12,7 +12,8 @@ execution of the current one.
 A single file (where file-level data parallelism has nothing to shard)
 instead has its TIMELINE sharded over the mesh: `__call__` /
 `segment_feats_sharded` dispatch `pipeline.run_sharded`, and
-`batch_process` routes one-file batches through it automatically.
+`segment_many` routes 1-file groups (a one-file batch, or the ragged
+tail of a corpus) through it automatically.
 """
 
 from __future__ import annotations
@@ -104,6 +105,22 @@ class ParallelEngine:
         for _, idxs in groups.items():
             for j0 in range(0, len(idxs), self.n_dev):
                 chunk = idxs[j0:j0 + self.n_dev]
+                if len(chunk) == 1:
+                    # a 1-file group (single-file batch, or the ragged tail
+                    # of a corpus) has no file-level parallelism — shard its
+                    # TIMELINE instead of padding the mesh with copies
+                    # (identical labels, tests/test_sharded_file.py)
+                    i = chunk[0]
+                    mspec, loge, t, difflen = feats_list[i]
+                    nfp, n_out = patch_counts(t, difflen)
+                    ids = self.seg.pipeline.run_sharded(
+                        self.seg.vad.model.params,
+                        self.seg.gender.model.params
+                        if self.seg.detect_gender else None,
+                        jnp.asarray(mspec), jnp.asarray(loge),
+                        t, nfp, n_out, self.mesh)
+                    out[i] = np.asarray(ids)[:n_out]
+                    continue
                 pad_to = self.n_dev
                 # features are usually already device-resident (jnp
                 # frontend): stack on device — np.asarray here would
@@ -169,25 +186,10 @@ class ParallelEngine:
                 return None, (dst, 2, "error: " + str(err))
             return feats, (dst, 0, "ok")
 
-        # a single file can't use file-level data parallelism — shard its
-        # TIMELINE over the mesh instead (identical labels, proven in
-        # tests/test_sharded_file.py) so the chips still all contribute
-        if len(todo) == 1:
-            pos, _, dst = todo[0]
-            feats, msg = stage(todo[0])
-            lmsg[pos] = msg
-            if feats is not None:
-                b = time.time()
-                fexport(self.segment_feats_sharded(*feats), dst)
-                lmsg[pos] = (msg[0], msg[1], "ok " + str(time.time() - b))
-            if verbose:
-                print("1/1", [lmsg[pos]])
-            dur = time.time() - t0
-            n_ok = len([e for e in lmsg if e is not None and e[1] == 0])
-            return dur, n_ok, dur / n_ok if n_ok else -1, lmsg
-
         # process in device-sized groups; stage the next group's features on
-        # a worker thread while the current group runs on the mesh
+        # a worker thread while the current group runs on the mesh (a 1-file
+        # group — single-file batch or ragged tail — is sharded over its
+        # timeline inside segment_many instead of padded with copies)
         group = self.n_dev
         batches = [todo[i:i + group] for i in range(0, len(todo), group)]
         done = 0
@@ -208,11 +210,17 @@ class ParallelEngine:
                     lmsg[pos] = msg
                     done += 1
                     if feats is not None:
+                        # contain export failures per file (unwritable dst,
+                        # dst-is-a-directory, ...) exactly like
+                        # Segmenter.batch_process: status 2, farm keeps going
                         b = time.time()
-                        lseg = self.seg.ids_to_lseg(res_by_idx[i])
-                        fexport(lseg, batch[i][2])
-                        lmsg[pos] = (msg[0], msg[1],
-                                     "ok " + str(time.time() - b))
+                        try:
+                            lseg = self.seg.ids_to_lseg(res_by_idx[i])
+                            fexport(lseg, batch[i][2])
+                            lmsg[pos] = (msg[0], msg[1],
+                                         "ok " + str(time.time() - b))
+                        except Exception as e:  # noqa: BLE001
+                            lmsg[pos] = (msg[0], 2, "error: " + str(e))
                     if verbose:
                         print("%d/%d" % (done, len(todo)), [lmsg[pos]])
 

@@ -79,6 +79,47 @@ def test_engine_batch_process_single_file(seg, media_dir, tmp_path):
         ["/nope.wav"], [str(tmp_path / "n.csv")])
     assert n_ok == 0 and msgs[0][1] == 2
     assert not (tmp_path / "n.csv").exists()
+    # export-phase containment: dst is a DIRECTORY -> status 2 for that
+    # file, the rest of the batch still lands (farm keeps going)
+    bad = tmp_path / "isdir.csv"
+    bad.mkdir()
+    _, n_ok, _, msgs = engine.batch_process(
+        [f"{media_dir}/silence2sec.wav", f"{media_dir}/silence2sec.wav"],
+        [str(bad), str(tmp_path / "good.csv")])
+    assert [m[1] for m in msgs] == [2, 0] and n_ok == 1
+    assert (tmp_path / "good.csv").read_text().startswith("labels")
+
+
+def test_ragged_tail_group_uses_timeline_shard(seg, monkeypatch):
+    """n_dev+1 same-bucket files: the 1-file tail group must route through
+    the sequence-parallel timeline shard (not a mesh padded with copies)
+    and labels must equal the single-device program."""
+    import jax.numpy as jnp
+
+    from inaspeechsegmenter_tpu.parallel import ParallelEngine
+
+    engine = ParallelEngine(seg)
+    rng = np.random.default_rng(3)
+    feats = []
+    for i in range(engine.n_dev + 1):
+        rows, t = 2048, 2048 - 40 - i
+        mspec = rng.standard_normal((rows, 24)).astype(np.float32)
+        loge = rng.standard_normal(rows).astype(np.float32)
+        feats.append((jnp.asarray(mspec), jnp.asarray(loge), t, 0))
+
+    calls = []
+    real = seg.pipeline.run_sharded
+    monkeypatch.setattr(
+        seg.pipeline, "run_sharded",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    ids = engine.segment_many(feats)
+    assert len(calls) == 1  # exactly the tail group
+    for (mspec, loge, t, _), got in zip(feats, ids):
+        n20 = (t + 1) // 2
+        want = np.asarray(seg.pipeline.run(
+            seg.vad.model.params, seg.gender.model.params,
+            mspec, loge, t, t, n20))[:n20]
+        np.testing.assert_array_equal(got, want)
 
 
 def test_engine_status_order_with_skips(seg, media_dir, tmp_path):
