@@ -105,11 +105,14 @@ class ParallelEngine:
         for _, idxs in groups.items():
             for j0 in range(0, len(idxs), self.n_dev):
                 chunk = idxs[j0:j0 + self.n_dev]
-                if len(chunk) == 1:
+                if len(chunk) == 1 and self.n_dev > 1:
                     # a 1-file group (single-file batch, or the ragged tail
                     # of a corpus) has no file-level parallelism — shard its
                     # TIMELINE instead of padding the mesh with copies
-                    # (identical labels, tests/test_sharded_file.py)
+                    # (identical labels, tests/test_sharded_file.py).  On a
+                    # 1-device mesh the plain fused batch-of-1 below is
+                    # already optimal (and its program is shared with the
+                    # multi-file groups)
                     i = chunk[0]
                     mspec, loge, t, difflen = feats_list[i]
                     nfp, n_out = patch_counts(t, difflen)

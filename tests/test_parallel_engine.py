@@ -122,6 +122,33 @@ def test_ragged_tail_group_uses_timeline_shard(seg, monkeypatch):
         np.testing.assert_array_equal(got, want)
 
 
+def test_single_device_mesh_keeps_fused_path(seg, monkeypatch):
+    """On a 1-device mesh every group has one file; those must stay on the
+    plain fused batch-of-1 program (run_sharded would be pure overhead)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from inaspeechsegmenter_tpu.parallel import ParallelEngine
+
+    engine = ParallelEngine(
+        seg, mesh=Mesh(np.array(jax.devices()[:1]), ("data",)))
+    assert engine.n_dev == 1
+    monkeypatch.setattr(
+        seg.pipeline, "run_sharded",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("sharded")))
+    rng = np.random.default_rng(5)
+    rows, t = 2048, 2000
+    mspec = rng.standard_normal((rows, 24)).astype(np.float32)
+    loge = rng.standard_normal(rows).astype(np.float32)
+    ids = engine.segment_many([(jnp.asarray(mspec), jnp.asarray(loge), t, 0)])
+    n20 = (t + 1) // 2
+    want = np.asarray(seg.pipeline.run(
+        seg.vad.model.params, seg.gender.model.params,
+        jnp.asarray(mspec), jnp.asarray(loge), t, t, n20))[:n20]
+    np.testing.assert_array_equal(ids[0], want)
+
+
 def test_engine_status_order_with_skips(seg, media_dir, tmp_path):
     """Status tuples keep input order even when skipifexist skips some
     entries in the middle (reference contract: positional zip)."""
