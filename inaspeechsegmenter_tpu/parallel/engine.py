@@ -12,8 +12,9 @@ execution of the current one.
 A single file (where file-level data parallelism has nothing to shard)
 instead has its TIMELINE sharded over the mesh: `__call__` /
 `segment_feats_sharded` dispatch `pipeline.run_sharded`, and
-`segment_many` routes 1-file groups (a one-file batch, or the ragged
-tail of a corpus) through it automatically.
+`segment_many` routes a file that is alone in its length bucket through
+it automatically (the ragged tail of a multi-group bucket stays on the
+already-compiled batched program instead — see segment_many).
 """
 
 from __future__ import annotations
@@ -94,9 +95,14 @@ class ParallelEngine:
             ids = np.asarray(ids)[:n20]
         return self.seg.ids_to_lseg(ids, start_sec)
 
-    def segment_many(self, feats_list):
+    def segment_many(self, feats_list, shard_single_file=True):
         """Segment a list of (mspec_pad, loge_pad, t, difflen) with one
-        sharded dispatch per device-sized group; returns label-id arrays."""
+        sharded dispatch per device-sized group; returns label-id arrays.
+
+        ``shard_single_file=False`` forces every group onto the batched
+        copy-padded program (callers that know the batched program is
+        already warm for the file's bucket — e.g. the ragged tail of a
+        corpus — avoid compiling a second, sharded program for it)."""
         out = [None] * len(feats_list)
         # group indices by padded length so shapes are uniform per dispatch
         groups = defaultdict(list)
@@ -105,14 +111,20 @@ class ParallelEngine:
         for _, idxs in groups.items():
             for j0 in range(0, len(idxs), self.n_dev):
                 chunk = idxs[j0:j0 + self.n_dev]
-                if len(chunk) == 1 and self.n_dev > 1:
-                    # a 1-file group (single-file batch, or the ragged tail
-                    # of a corpus) has no file-level parallelism — shard its
+                if (len(idxs) == 1 and self.n_dev > 1
+                        and shard_single_file):
+                    # a bucket whose ONLY file is this one has no file-level
+                    # parallelism and no batched program to share — shard its
                     # TIMELINE instead of padding the mesh with copies
-                    # (identical labels, tests/test_sharded_file.py).  On a
-                    # 1-device mesh the plain fused batch-of-1 below is
-                    # already optimal (and its program is shared with the
-                    # multi-file groups)
+                    # (identical labels, tests/test_sharded_file.py).  A
+                    # ragged TAIL of a multi-group bucket stays on the
+                    # batched program below: it is already compiled for the
+                    # bucket's full groups, so copy-padding is free while a
+                    # timeline shard would compile a fresh program per
+                    # bucket shape (20-40 s through a remote-compile
+                    # tunnel).  On a 1-device mesh the plain fused
+                    # batch-of-1 below is already optimal (and its program
+                    # is shared with the multi-file groups)
                     i = chunk[0]
                     mspec, loge, t, difflen = feats_list[i]
                     nfp, n_out = patch_counts(t, difflen)
@@ -190,9 +202,12 @@ class ParallelEngine:
             return feats, (dst, 0, "ok")
 
         # process in device-sized groups; stage the next group's features on
-        # a worker thread while the current group runs on the mesh (a 1-file
-        # group — single-file batch or ragged tail — is sharded over its
-        # timeline inside segment_many instead of padded with copies)
+        # a worker thread while the current group runs on the mesh.  A
+        # single-file WORKLOAD is sharded over its timeline inside
+        # segment_many (the latency case); the 1-file ragged tail of a
+        # multi-file corpus instead reuses the batched program its earlier
+        # groups already compiled (shard_single_file=False)
+        shard_single = len(todo) == 1
         group = self.n_dev
         batches = [todo[i:i + group] for i in range(0, len(todo), group)]
         done = 0
@@ -206,7 +221,9 @@ class ParallelEngine:
                        if bi + 1 < len(batches) else None)
                 ok = [(i, f) for i, (f, m) in enumerate(staged)
                       if f is not None]
-                results = self.segment_many([f for _, f in ok]) if ok else []
+                results = self.segment_many(
+                    [f for _, f in ok],
+                    shard_single_file=shard_single) if ok else []
                 res_by_idx = {i: r for (i, _), r in zip(ok, results)}
                 for i, (feats, msg) in enumerate(staged):
                     pos = batch[i][0]
@@ -223,7 +240,9 @@ class ParallelEngine:
                             lmsg[pos] = (msg[0], msg[1],
                                          "ok " + str(time.time() - b))
                         except Exception as e:  # noqa: BLE001
-                            lmsg[pos] = (msg[0], 2, "error: " + str(e))
+                            # repr, matching utils/prefetch.py's containment
+                            # (str(e) can be empty, e.g. a bare OSError())
+                            lmsg[pos] = (msg[0], 2, "error: " + repr(e))
                     if verbose:
                         print("%d/%d" % (done, len(todo)), [lmsg[pos]])
 

@@ -319,15 +319,16 @@ class VoiceFemininityScoring:
         # feature input
         sig = media2sig16kmono(fpath, ffmpeg=self.ffmpeg, dtype="auto")
         pcm = None
-        signal = None
+        # non-PCM16 source: reference two-decode behavior — float64 for the
+        # features (the float32 'auto' signal would round the feature
+        # input), the 'auto' signal for the VAD
+        signal = None if sig.dtype == np.int16 else media2sig16kmono(
+            fpath, ffmpeg=self.ffmpeg, dtype="float64")
         if not hasattr(self.vad, "segment_signal"):
             # reference duck-type contract: `vad` is simply CALLED with the
             # path (vbx_segmenter.py:164 `self.vad(fpath)`), so a plain
             # callable can be injected in its place — keep that working
             # (the shared-decode fast paths below need a Segmenter)
-            if sig.dtype != np.int16:
-                signal = media2sig16kmono(fpath, ffmpeg=self.ffmpeg,
-                                          dtype="float64")
             vad_seg = self.vad(fpath)
         elif sig.dtype == np.int16:
             # the VAD upload doubles as the VBx feature input: ask the
@@ -337,11 +338,8 @@ class VoiceFemininityScoring:
             vad_seg, pcm = self.vad.segment_signal(sig, 0, fpath,
                                                    return_pcm=True)
         else:
-            # non-PCM16 source: reference two-decode behavior (float64 for
-            # features; the VAD consumes the already-decoded 'auto' signal
-            # instead of decoding the file a third time)
-            signal = media2sig16kmono(fpath, ffmpeg=self.ffmpeg,
-                                      dtype="float64")
+            # the VAD consumes the already-decoded 'auto' signal instead
+            # of decoding the file a third time
             vad_seg = self.vad.segment_signal(sig, 0, fpath)
         n_samples = len(sig)
         duration = n_samples / SR

@@ -90,22 +90,52 @@ def test_engine_batch_process_single_file(seg, media_dir, tmp_path):
     assert (tmp_path / "good.csv").read_text().startswith("labels")
 
 
-def test_ragged_tail_group_uses_timeline_shard(seg, monkeypatch):
-    """n_dev+1 same-bucket files: the 1-file tail group must route through
-    the sequence-parallel timeline shard (not a mesh padded with copies)
-    and labels must equal the single-device program."""
+def _feat(rng, rows, t):
     import jax.numpy as jnp
 
+    mspec = rng.standard_normal((rows, 24)).astype(np.float32)
+    loge = rng.standard_normal(rows).astype(np.float32)
+    return jnp.asarray(mspec), jnp.asarray(loge), t, 0
+
+
+def _check_ids(seg, feats, ids):
+    for (mspec, loge, t, _), got in zip(feats, ids):
+        n20 = (t + 1) // 2
+        want = np.asarray(seg.pipeline.run(
+            seg.vad.model.params, seg.gender.model.params,
+            mspec, loge, t, t, n20))[:n20]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_ragged_tail_reuses_batched_program(seg, monkeypatch):
+    """n_dev+1 same-bucket files: the 1-file tail group must stay on the
+    batched program its bucket's full group already compiled (copy-padded
+    mesh) — a timeline shard there would compile a second program for the
+    same bucket — and labels must equal the single-device program."""
     from inaspeechsegmenter_tpu.parallel import ParallelEngine
 
     engine = ParallelEngine(seg)
     rng = np.random.default_rng(3)
-    feats = []
-    for i in range(engine.n_dev + 1):
-        rows, t = 2048, 2048 - 40 - i
-        mspec = rng.standard_normal((rows, 24)).astype(np.float32)
-        loge = rng.standard_normal(rows).astype(np.float32)
-        feats.append((jnp.asarray(mspec), jnp.asarray(loge), t, 0))
+    feats = [_feat(rng, 2048, 2048 - 40 - i)
+             for i in range(engine.n_dev + 1)]
+    monkeypatch.setattr(
+        seg.pipeline, "run_sharded",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("sharded")))
+    ids = engine.segment_many(feats)
+    _check_ids(seg, feats, ids)
+
+
+def test_lone_bucket_file_uses_timeline_shard(seg, monkeypatch):
+    """A file that is ALONE in its length bucket has no batched program to
+    share — it routes through the sequence-parallel timeline shard; labels
+    equal the single-device program for every file either way."""
+    from inaspeechsegmenter_tpu.parallel import ParallelEngine
+
+    engine = ParallelEngine(seg)
+    rng = np.random.default_rng(4)
+    feats = [_feat(rng, 2048, 2048 - 40 - i)
+             for i in range(engine.n_dev)]
+    feats.append(_feat(rng, 4096, 4096 - 40))  # lone 4096-row bucket
 
     calls = []
     real = seg.pipeline.run_sharded
@@ -113,13 +143,28 @@ def test_ragged_tail_group_uses_timeline_shard(seg, monkeypatch):
         seg.pipeline, "run_sharded",
         lambda *a, **k: (calls.append(1), real(*a, **k))[1])
     ids = engine.segment_many(feats)
-    assert len(calls) == 1  # exactly the tail group
-    for (mspec, loge, t, _), got in zip(feats, ids):
-        n20 = (t + 1) // 2
-        want = np.asarray(seg.pipeline.run(
-            seg.vad.model.params, seg.gender.model.params,
-            mspec, loge, t, t, n20))[:n20]
-        np.testing.assert_array_equal(got, want)
+    assert len(calls) == 1  # exactly the lone-bucket file
+    _check_ids(seg, feats, ids)
+
+
+def test_corpus_tail_batch_process_stays_batched(seg, media_dir, tmp_path,
+                                                 monkeypatch):
+    """batch_process on a multi-file corpus never timeline-shards its
+    ragged tail batch (shard_single_file=False): the batched program
+    family serves the whole corpus."""
+    from inaspeechsegmenter_tpu.parallel import ParallelEngine
+
+    engine = ParallelEngine(seg)
+    monkeypatch.setattr(
+        seg.pipeline, "run_sharded",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("sharded")))
+    n = engine.n_dev + 1
+    inputs = [f"{media_dir}/silence2sec.wav"] * n
+    outputs = [str(tmp_path / f"o{i}.csv") for i in range(n)]
+    _, n_ok, _, _ = engine.batch_process(inputs, outputs)
+    assert n_ok == n
+    assert (tmp_path / f"o{n - 1}.csv").read_text() == \
+        (tmp_path / "o0.csv").read_text()
 
 
 def test_single_device_mesh_keeps_fused_path(seg, monkeypatch):
