@@ -307,14 +307,19 @@ class FusedPipeline:
         :return: (T20pad,) int32 labels, T20pad = len(chunks)*C/2.
         """
         if self._jit_vad_chunk is None:
-            self._jit_vad_chunk = jax.jit(
-                partial(self._chunk_probs_impl, self.vad_forward,
-                        self.vad_nmel), static_argnums=(4,))
+            # the guard attribute (_jit_vad_chunk) is assigned LAST:
+            # concurrent first callers (prefetch threads sharing one
+            # pipeline, e.g. VFS batch_score producers) must never see it
+            # non-None while _jit_tail/_jit_g_chunk are still None; a
+            # racing re-build is idempotent and harmless
             self._jit_tail = jax.jit(self._tail_impl)
             if self.gender is not None:
                 self._jit_g_chunk = jax.jit(
                     partial(self._chunk_probs_impl, self.g_forward,
                             self.g_nmel), static_argnums=(4,))
+            self._jit_vad_chunk = jax.jit(
+                partial(self._chunk_probs_impl, self.vad_forward,
+                        self.vad_nmel), static_argnums=(4,))
         spec_gender = (self.gender is not None and
                        os.environ.get("ISS_STREAM_GENDER", "0") == "1")
         nmel_all = chunks[0][0].shape[1]
@@ -480,3 +485,14 @@ def bucket_chunks(n: int):
     while b < n:
         b = b * 2 if b < 4 else (b * 3 + 1) // 2
     return b
+
+
+def bucket_rows(n_frames: int):
+    """Padded feature-ROW count for ``n_frames`` frames: the chunk-bucket
+    ladder times the feature chunk size.  The ONE owner of the row-bucket
+    policy — `_sig2feats`, `segment_feats` and `segment_signal` all pad to
+    this, and they must agree or their jit caches silently split (a fresh
+    20-40 s compile per divergent shape through a remote-compile link)."""
+    from .dsp.sidekit import CHUNK
+
+    return bucket_chunks(max(1, -(-n_frames // CHUNK))) * CHUNK

@@ -22,12 +22,11 @@ import warnings
 import numpy as np
 
 from .audio.io import media2sig16kmono, check_ffmpeg
-from .dsp.sidekit import SidekitFrontend, CHUNK, frame_count
+from .dsp.sidekit import SidekitFrontend, frame_count
 from .export import seg2csv, seg2textgrid
 from .models.registry import load_patch_model
-from .pipeline import FusedPipeline, rle, bucket_chunks
-from .utils.prefetch import run_prefetched
-from .utils.retry import retry_call
+from .pipeline import FusedPipeline, rle, bucket_rows
+from .utils.prefetch import run_prefetched, staged_producer
 from .utils.timing import StageTimers
 
 
@@ -190,7 +189,7 @@ class Segmenter:
         """Features for a decoded signal -> (mspec_dev, loge_dev, t, difflen)."""
         with self.timers.time("features"):
             t = frame_count(len(sig))
-            bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK
+            bucket = bucket_rows(t)
             mspec, loge, t = self.frontend.mspec_loge(sig, pad_frames_to=bucket)
         mspec, difflen = short_media_pad(mspec, t, medianame)
         return mspec, loge, t, difflen
@@ -226,7 +225,7 @@ class Segmenter:
         loge = np.asarray(loge, np.float32)
         mspec = np.asarray(mspec, np.float32)
         t = len(loge)
-        bucket = bucket_chunks(max(1, -(-max(t, len(mspec)) // CHUNK))) * CHUNK
+        bucket = bucket_rows(max(t, len(mspec)))
         loge_pad = np.full(bucket, -np.inf, np.float32)
         loge_pad[:t] = loge
         mspec_pad = np.zeros((bucket, mspec.shape[1]), np.float32)
@@ -277,7 +276,7 @@ class Segmenter:
 
         with self.timers.time("features"):
             t = frame_count(len(sig))
-            bucket = bucket_chunks(max(1, -(-t // CHUNK))) * CHUNK
+            bucket = bucket_rows(t)
             pcm = None
             if return_pcm:
                 chunks, t, pcm = self.frontend.mspec_loge_chunks(
@@ -318,19 +317,9 @@ class Segmenter:
         else:
             raise NotImplementedError()
 
-        def produce(item):
-            src, dst = item
-            if skipifexist and os.path.exists(dst):
-                return None, (dst, 1, "already exists")
-            dname = os.path.dirname(dst)
-            if dname and not os.path.isdir(dname):
-                os.makedirs(dname, exist_ok=True)
-            ret, errmsg = retry_call(
-                lambda: self._media2feats(src, None, None),
-                nbtry=nbtry, trydelay=trydelay)
-            if ret is None:
-                return None, (dst, 2, "error: " + str(errmsg))
-            return ret, (dst, 0, "ok")
+        produce = staged_producer(
+            lambda src: self._media2feats(src, None, None),
+            skipifexist=skipifexist, nbtry=nbtry, trydelay=trydelay)
 
         def consume(feats, item, msg):
             mspec, loge, t, difflen = feats

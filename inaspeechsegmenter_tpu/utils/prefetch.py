@@ -17,6 +17,31 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 
+def staged_producer(stage, skipifexist=False, nbtry=1, trydelay=2.):
+    """Build the standard corpus ``produce`` callback: skipifexist check,
+    output-dir mkdir, retried ``stage(src)``, reference status tuples
+    (exception CLASS in the error text, like reference
+    segmenter.py:360-372).  One owner for the skeleton shared by
+    Segmenter.batch_process and VoiceFemininityScoring.batch_score so the
+    resume/retry policy cannot drift between the two batch surfaces."""
+    from .retry import retry_call
+
+    def produce(item):
+        src, dst = item
+        if skipifexist and os.path.exists(dst):
+            return None, (dst, 1, "already exists")
+        dname = os.path.dirname(dst)
+        if dname and not os.path.isdir(dname):
+            os.makedirs(dname, exist_ok=True)
+        payload, err = retry_call(lambda: stage(src),
+                                  nbtry=nbtry, trydelay=trydelay)
+        if payload is None:
+            return None, (dst, 2, "error: " + str(err))
+        return payload, (dst, 0, "ok")
+
+    return produce
+
+
 def run_prefetched(items, produce, consume, verbose=False):
     """Drive ``items`` (src, dst) through produce (threaded) + consume.
 

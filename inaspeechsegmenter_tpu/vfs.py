@@ -164,40 +164,55 @@ class JaxResnetExtractor:
         b = len(windows)
         if b == 0:
             return np.zeros((0, self.net.embed_dim), np.float32)
-        sub = max(1, int(os.environ.get("ISS_XVEC_BATCH", "256")))
+        sub, buckets = self._xvec_layout()
         fwd = self._sharded_fwd if self._sharded_fwd is not None else self.net
-        n_dev = self.mesh.devices.size if self.mesh is not None else 1
-        sub = -(-sub // n_dev) * n_dev          # shardable sub-batches
         w = jnp.asarray(windows, jnp.float32)
         outs = []
         for g in range(0, b, sub):
             k = min(sub, b - g)
-            if k == sub:
-                outs.append(fwd(self.params, w[g:g + sub]))
+            bucket = next(x for x in buckets if x >= k)
+            if bucket == k:   # full sub-batch, or a pre-padded tail bucket
+                outs.append(fwd(self.params, w[g:g + k]))
             else:
-                bucket = 1 << (k - 1).bit_length()
-                bucket = -(-bucket // n_dev) * n_dev    # mesh-divisible
                 part = jnp.concatenate([
                     w[g:g + k],
                     jnp.zeros((bucket - k,) + w.shape[1:], jnp.float32)])
                 outs.append(fwd(self.params, part)[:k])
         return np.concatenate([np.asarray(o) for o in outs])
 
+    def _xvec_layout(self):
+        """(sub, buckets): the mesh-rounded sub-batch size and the sorted
+        ladder of mesh-divisible tail buckets (pow2 capped at sub).  ONE
+        owner for the layout shared by the gather pre-padding
+        (`embeddings_from_features`) and the forward dispatch
+        (`get_embeddings_batch`): if the two disagreed, every pre-padded
+        tail count would compile a fresh ResNet101 program (20-40 s each
+        through a remote-compile tunnel) and could pad past the ~1.5 GB
+        activation bound.  The bucket ladder is idempotent by construction
+        (every bucket maps to itself), so a pre-padded group is dispatched
+        as-is.  On a 1-device mesh this reduces to the plain pow2 ladder.
+        """
+        sub = max(1, int(os.environ.get("ISS_XVEC_BATCH", "256")))
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        sub = -(-sub // n_dev) * n_dev          # shardable sub-batches
+        buckets = sorted({-(-min(1 << p, sub) // n_dev) * n_dev
+                          for p in range((sub - 1).bit_length() + 1)})
+        return sub, buckets
+
     def embeddings_from_features(self, fea_dev, starts):
         """Device-resident path: gather the (nw, 64, WINLEN) windows from
         the on-device feature array instead of stacking them on host — the
         windows overlap 6x (STEP=24 vs WINLEN=144), so a host stack
         re-uploads every feature frame six times over the link.  The
-        window count is padded to whole sub-batches plus a power-of-two
-        tail so every ResNet forward comes from the bounded program set
-        {sub} + {pow2 < sub} and the padding waste stays < one tail
-        bucket.
+        window count is padded to whole sub-batches plus a tail bucket so
+        every ResNet forward comes from the bounded `_xvec_layout` program
+        set and the padding waste stays < one tail bucket.
         """
-        sub = max(1, int(os.environ.get("ISS_XVEC_BATCH", "256")))
+        sub, buckets = self._xvec_layout()
         nw = len(starts)
         full = (nw // sub) * sub
         tail = nw - full
-        nw_pad = full + ((1 << (tail - 1).bit_length()) if tail else 0)
+        nw_pad = full + (next(x for x in buckets if x >= tail) if tail else 0)
         st = np.zeros(nw_pad, np.int32)
         st[:nw] = starts
         idx = jnp.asarray(st)[:, None] + jnp.arange(WINLEN)[None, :]
@@ -418,21 +433,12 @@ class VoiceFemininityScoring:
         """
         import time
 
-        from .utils.prefetch import run_prefetched
+        from .utils.prefetch import run_prefetched, staged_producer
         from .utils.retry import retry_call
 
-        def produce(item):
-            src, dst = item
-            if skipifexist and os.path.exists(dst):
-                return None, (dst, 1, "already exists")
-            dname = os.path.dirname(dst)
-            if dname and not os.path.isdir(dname):
-                os.makedirs(dname, exist_ok=True)
-            prepared, err = retry_call(lambda: self._prepare(src),
-                                       nbtry=nbtry, trydelay=trydelay)
-            if prepared is None:
-                return None, (dst, 2, "error: " + str(err))
-            return prepared, (dst, 0, "ok")
+        produce = staged_producer(
+            self._prepare,
+            skipifexist=skipifexist, nbtry=nbtry, trydelay=trydelay)
 
         def consume(prepared, item, msg):
             dst = item[1]

@@ -228,3 +228,48 @@ def test_batch_process_bad_destination(seg_smn, media_dir, tmp_path):
     assert n_ok == 1
     assert msgs[0][2].startswith("error:")
     assert os.path.exists(outputs[1])
+
+
+def test_streaming_lazy_jit_guard_assigned_last(seg_smn, monkeypatch):
+    """run_streaming's lazy init must assign its guard attribute
+    (_jit_vad_chunk) LAST: two prefetch threads share one pipeline (VFS
+    batch_score producers), and a thread that sees the guard non-None
+    immediately calls _jit_tail — which must therefore already be set.
+    Asserts the guard is still None during EVERY jax.jit call of the init
+    block (the pre-fix order assigned it first)."""
+    import jax
+    import jax.numpy as jnp
+
+    from inaspeechsegmenter_tpu.pipeline import FusedPipeline
+    from inaspeechsegmenter_tpu.segmenter import patch_counts
+
+    pipe = FusedPipeline(seg_smn.vad.as_pipeline_stage(),
+                         seg_smn.gender.as_pipeline_stage(),
+                         energy_ratio=seg_smn.energy_ratio)
+    guard_snapshots = []
+    real_jit = jax.jit
+
+    def spy(*a, **k):
+        guard_snapshots.append(pipe._jit_vad_chunk is None)
+        return real_jit(*a, **k)
+
+    monkeypatch.setattr(jax, "jit", spy)
+    rng = np.random.default_rng(11)
+    c = 2048
+    chunks = [(jnp.asarray(rng.standard_normal((c, 24)), jnp.float32),
+               jnp.asarray(rng.standard_normal(c), jnp.float32))
+              for _ in range(2)]
+    t = 2 * c - 10
+    nfp, n20 = patch_counts(t, 0)
+    ids = np.asarray(pipe.run_streaming(
+        seg_smn.vad.model.params, seg_smn.gender.model.params,
+        chunks, t, nfp, n20))[:n20]
+    monkeypatch.undo()
+    assert guard_snapshots and all(guard_snapshots)
+    # sanity: streamed labels equal the fused whole-file program
+    mspec = jnp.concatenate([m for m, _ in chunks])
+    loge = jnp.concatenate([l for _, l in chunks])
+    want = np.asarray(pipe.run(
+        seg_smn.vad.model.params, seg_smn.gender.model.params,
+        mspec, loge, t, nfp, n20))[:n20]
+    np.testing.assert_array_equal(ids, want)

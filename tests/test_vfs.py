@@ -288,3 +288,35 @@ def test_batch_score_bad_destination(vfs, media_dir, tmp_path):
     assert n_ok == 1
     assert lmsg[0][2].startswith("error:")
     assert os.path.exists(outs[1])
+
+
+def test_xvec_layout_nondivisor_mesh(vfs, monkeypatch):
+    """On a mesh whose device count does NOT divide ISS_XVEC_BATCH, the
+    gather pre-padding (embeddings_from_features) and the forward dispatch
+    (get_embeddings_batch) share one `_xvec_layout`: every ResNet forward
+    shape comes from the bounded {sub} + bucket-ladder set (a disagreement
+    would compile a fresh ResNet program per ragged window count) and the
+    embeddings equal the single-device path."""
+    from inaspeechsegmenter_tpu.parallel.mesh import make_mesh
+    from inaspeechsegmenter_tpu.vfs import JaxResnetExtractor
+
+    rng = np.random.default_rng(7)
+    fea = rng.standard_normal((700, 64)).astype(np.float32)
+    monkeypatch.setenv("ISS_XVEC_BATCH", "16")
+    ext = JaxResnetExtractor(params=vfs.xvector_model.params,
+                             net=vfs.xvector_model.net, mesh=make_mesh(6))
+    sub, buckets = ext._xvec_layout()
+    assert sub % 6 == 0 and all(b % 6 == 0 and b <= sub for b in buckets)
+    # idempotent ladder: a pre-padded tail bucket dispatches as itself
+    assert all(next(x for x in buckets if x >= b) == b for b in buckets)
+    shapes = []
+    real = ext._sharded_fwd
+    ext._sharded_fwd = (
+        lambda p, w: (shapes.append(int(w.shape[0])), real(p, w))[1])
+    xv_m = ext("b", fea, 7.0)
+    assert shapes and all(s == sub or s in buckets for s in shapes)
+    xv_1 = vfs.xvector_model("b", fea, 7.0)
+    assert len(xv_m) == len(xv_1) > 20
+    for (ka, sa, xa), (kb, sb, xb) in zip(xv_m, xv_1):
+        assert ka == kb and sa == sb
+        np.testing.assert_allclose(xa, xb, rtol=1e-4, atol=1e-3)
