@@ -136,7 +136,13 @@ class VbxFrontend:
                     self._dither_dev = jnp.concatenate(
                         [self._dither_dev, _upload_pieces(d, 1 << 20)])
                 self._dither_len = grow
-            return self._dither_dev
+            # slice to the requested length BEFORE handing the buffer to a
+            # jitted fbank program: the traced dither shape is then the
+            # signal bucket `n` alone, so a 2^20-sample buffer growth does
+            # not change the traced shapes and invalidate every compiled
+            # signal-bucket program (the slice itself is a trivial device
+            # op keyed on the rare (buffer_len, n) pairs)
+            return self._dither_dev[:n]
 
     def _seg_from_i16(self, sig_i16, dither, n_sig):
         """Traced: dither + mirror-pad the int16 signal on device,

@@ -275,20 +275,28 @@ def read_h5(path):
 
 
 def strip_final_softmax(spec):
-    """Copy of spec with the last softmax activation replaced by linear —
-    yields a logits forward for training losses."""
+    """Copy of spec with the model's OUTPUT softmax replaced by linear —
+    yields a logits forward for training losses.  Only output layers are
+    touched: an internal Softmax (attention/gating branch) is left alone,
+    and a model whose output activation is not softmax is returned
+    unchanged (a backwards scan would silently linearize the wrong
+    layer)."""
     import copy
 
     spec = copy.deepcopy(spec)
-    for e in reversed(spec["layers"]):
+    layers = spec["layers"]
+    by_name = {e["name"]: e for e in layers}
+    outs = spec.get("outputs") or ([layers[-1]["name"]] if layers else [])
+    for name in outs:
+        e = by_name.get(name)
+        if e is None:
+            continue
         cfg = e["config"]
         if e["class_name"] == "Softmax":
             e["class_name"] = "Activation"
             cfg["activation"] = "linear"
-            break
-        if cfg.get("activation") == "softmax":
+        elif cfg.get("activation") == "softmax":
             cfg["activation"] = "linear"
-            break
     return spec
 
 

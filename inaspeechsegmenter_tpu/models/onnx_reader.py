@@ -38,6 +38,12 @@ _DTYPES = {
     12: np.dtype("<u4"),   # UINT32
     13: np.dtype("<u8"),   # UINT64
 }
+try:                       # BFLOAT16 (jax ships ml_dtypes)
+    import ml_dtypes
+
+    _DTYPES[16] = np.dtype(ml_dtypes.bfloat16)
+except ImportError:        # pragma: no cover - ml_dtypes comes with jax
+    pass
 
 
 def _read_varint(buf, i):
@@ -99,6 +105,7 @@ def _parse_tensor(mv):
     int32_data = []
     int64_data = []
     double_data = []
+    uint64_data = []
     for fno, wt, val in _fields(mv):
         if fno == 1:                      # dims (repeated int64)
             dims.extend(_packed_varints(val) if wt == _LEN else [val])
@@ -118,9 +125,15 @@ def _parse_tensor(mv):
         elif fno == 10:                   # double_data (packed)
             double_data.append(np.frombuffer(val, "<f8") if wt == _LEN
                                else np.float64(np.uint64(val).view("<f8")))
+        elif fno == 11:                   # uint64_data (UINT32/UINT64)
+            uint64_data.extend(_packed_varints(val) if wt == _LEN else [val])
     dt = _DTYPES.get(dtype_code)
     if dt is None:
-        raise ValueError(f"tensor {name!r}: unsupported data_type {dtype_code}")
+        # unsupported element type (e.g. STRING label maps some exporters
+        # emit as side Constants): return None so callers SKIP the tensor
+        # instead of aborting the whole parse — weight extraction never
+        # needs these, and raising here broke otherwise-loadable files
+        return name, None
     if raw is not None:
         arr = np.frombuffer(bytes(raw), dt)
     elif float_data:
@@ -130,6 +143,9 @@ def _parse_tensor(mv):
     elif int64_data:
         # protobuf varints are two's-complement encoded in 64 bits
         arr = np.array(int64_data, np.uint64).view(np.int64)
+    elif uint64_data:
+        # spec-mandated container for UINT32 and UINT64
+        arr = np.array(uint64_data, np.uint64).astype(dt)
     elif int32_data:
         # int32_data is the spec-mandated container for INT32 but ALSO for
         # FLOAT16/INT8/INT16/UINT8/UINT16/BOOL when raw_data is absent —
@@ -229,7 +245,8 @@ def _parse_graph(mv):
             g.nodes.append(_parse_node(val))
         elif fno == 5:
             name, arr = _parse_tensor(val)
-            g.initializers[name] = arr
+            if arr is not None:     # skip unsupported element types
+                g.initializers[name] = arr
         elif fno == 11:
             g.inputs.append(_value_info_name(val))
         elif fno == 12:

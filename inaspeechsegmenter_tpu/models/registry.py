@@ -57,14 +57,58 @@ def cache_dir():
     return d
 
 
-def _npz_is_synthetic(path):
-    """True if a native checkpoint is a random-weight synthetic stand-in."""
+_HASH_CACHE = {}
+
+
+def _file_sha256(path):
+    """Content hash, memoized on (path, size, mtime_ns) so repeated
+    resolutions of the same weight file hash it once per process."""
+    import hashlib
+
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    h = _HASH_CACHE.get(key)
+    if h is None:
+        hh = hashlib.sha256()
+        with open(path, "rb") as fh:
+            for blk in iter(lambda: fh.read(1 << 20), b""):
+                hh.update(blk)
+        h = _HASH_CACHE[key] = hh.hexdigest()
+    return h
+
+
+def _npz_spec(path):
+    """The embedded spec dict of a native checkpoint; ``{}`` for a valid
+    npz without one (e.g. a ResNet checkpoint); ``None`` if the file is
+    not a readable npz at all (corrupt / truncated — callers must not
+    treat it as a checkpoint)."""
     try:
         with np.load(path, allow_pickle=False) as z:
-            spec = json.loads(bytes(z["__spec__"].tobytes()).decode())
-        return bool(spec.get("synthetic"))
+            if "__spec__" not in z.files:
+                return {}
+            return json.loads(bytes(z["__spec__"].tobytes()).decode())
     except Exception:
+        return None
+
+
+def _npz_matches_source(spec, source_path):
+    """Does the conversion cache's recorded source identity match
+    ``source_path``?  ``None`` when the npz predates source recording
+    (callers fall back to the mtime heuristic).  Content-based: an mtime
+    comparison alone misclassifies timestamp-preserving installs
+    (cp -p / rsync -a) of updated weights."""
+    src = spec.get("source")
+    if not isinstance(src, dict):
+        return None
+    if src.get("size") != os.path.getsize(source_path):
         return False
+    return src.get("sha256") == _file_sha256(source_path)
+
+
+def _npz_is_synthetic(path):
+    """True if a native checkpoint is a random-weight synthetic stand-in."""
+    spec = _npz_spec(path)
+    return bool(spec and spec.get("synthetic"))
 
 
 def _synthetic_allowed(path):
@@ -99,14 +143,27 @@ def get_remote(model_fname, allow_download=True, allow_synthetic=False):
     """
     stem = os.path.splitext(model_fname)[0]
 
-    def _usable_npz(p, newer_than=None):
+    def _usable_npz(p, source=None):
         if not os.access(p, os.R_OK):
             return False
-        if _npz_is_synthetic(p):
+        spec = _npz_spec(p)
+        if spec is None:
+            warnings.warn(
+                f"ignoring unreadable native checkpoint {p} (corrupt or "
+                "truncated npz); delete it to silence this warning",
+                stacklevel=3)
+            return False
+        if spec.get("synthetic"):
+            if source is not None:
+                # real weights installed next to the stand-in always win
+                return False
             return allow_synthetic or _synthetic_allowed(p)
-        if newer_than is not None and \
-                os.path.getmtime(p) < os.path.getmtime(newer_than):
-            return False           # stale conversion of an updated source
+        if source is not None:
+            match = _npz_matches_source(spec, source)
+            if match is not None:
+                return match       # content-verified conversion (or not)
+            if os.path.getmtime(p) < os.path.getmtime(source):
+                return False       # stale conversion of an updated source
         return True
 
     for d in _search_dirs():
@@ -116,13 +173,20 @@ def get_remote(model_fname, allow_download=True, allow_synthetic=False):
             return npz
         if os.access(exact, os.R_OK):
             # the conversion cache may live in a lower-priority dir (the
-            # user cache): use it when it is fresh, REAL (a synthetic
-            # stand-in must never shadow a real weight file) and at least
-            # as new as this source
+            # user cache): use it when it is REAL (a synthetic stand-in
+            # must never shadow a real weight file) and provably derived
+            # from this source — content identity when recorded, the
+            # mtime heuristic for legacy caches without it
             for d2 in _search_dirs():
                 p2 = os.path.join(d2, stem + ".npz")
-                if (os.access(p2, os.R_OK) and not _npz_is_synthetic(p2)
-                        and os.path.getmtime(p2) >= os.path.getmtime(exact)):
+                if not os.access(p2, os.R_OK):
+                    continue
+                spec2 = _npz_spec(p2)
+                if not isinstance(spec2, dict) or spec2.get("synthetic"):
+                    continue
+                match = _npz_matches_source(spec2, exact)
+                if (match if match is not None else
+                        os.path.getmtime(p2) >= os.path.getmtime(exact)):
                     return p2
             return exact
     if allow_download and model_fname in DMODELS:
@@ -174,6 +238,14 @@ def load_patch_model(model_fname, allow_download=True, allow_synthetic=False):
                 stacklevel=2)
         return model
     model = ImportedModel.from_h5(path)
+    # record the source identity so cache reuse can verify CONTENT, not
+    # just mtimes (timestamp-preserving weight installs otherwise resolve
+    # to a stale conversion of the previous release)
+    model.spec["source"] = {
+        "name": os.path.basename(path),
+        "size": os.path.getsize(path),
+        "sha256": _file_sha256(path),
+    }
     # cache the converted form for next time — atomically and with a
     # per-process temp name, like the download path: a worker killed
     # mid-write (or two converting concurrently) must not leave a

@@ -204,8 +204,28 @@ def test_dither_buffer_growth_continues_stream():
 
     fe = VbxFrontend()
     fe._dither_buffer(1000)                     # first growth: 1 MiB block
-    buf = np.asarray(fe._dither_buffer((1 << 20) + 5))   # delta growth
+    n = (1 << 20) + 5
+    buf = np.asarray(fe._dither_buffer(n))      # delta growth
     rng = np.random.RandomState(3)
     ref = (8.0 * (2.0 * rng.rand(2 << 20) - 1.0)).astype(np.float32)
-    assert buf.shape == ref.shape
-    np.testing.assert_array_equal(buf, ref)
+    np.testing.assert_array_equal(buf, ref[:n])  # exact-length slice
+    # the underlying cache holds the full continued stream
+    np.testing.assert_array_equal(np.asarray(fe._dither_dev), ref)
+
+
+def test_dither_buffer_shape_keyed_on_request():
+    """_dither_buffer returns exactly the requested length: the traced
+    dither shape must equal the signal bucket so a 2^20-sample buffer
+    growth cannot invalidate every compiled signal-bucket fbank program
+    (round-3 review finding).  The stream stays a prefix sequence."""
+    from inaspeechsegmenter_tpu.dsp.vbx import VbxFrontend
+
+    fe = VbxFrontend()
+    d1 = np.asarray(fe._dither_buffer(1000))
+    assert d1.shape == (1000,)
+    d2 = np.asarray(fe._dither_buffer((1 << 20) + 5))   # forces a growth
+    assert d2.shape == ((1 << 20) + 5,)
+    np.testing.assert_array_equal(d2[:1000], d1)        # MT19937(3) prefix
+    d3 = np.asarray(fe._dither_buffer(1000))            # after growth:
+    assert d3.shape == (1000,)                          # shape unchanged
+    np.testing.assert_array_equal(d3, d1)
