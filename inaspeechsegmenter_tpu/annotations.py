@@ -16,7 +16,20 @@ class SpeechTimeline:
     """Sorted non-overlapping speech intervals with overlap queries."""
 
     def __init__(self, intervals):
-        self.intervals = sorted((float(a), float(b)) for a, b in intervals)
+        ivs = sorted((float(a), float(b)) for a, b in intervals)
+        # merge STRICTLY overlapping intervals (caller-injected timelines
+        # may carry them; bisect-based queries assume disjointness).
+        # Touching intervals stay separate: the reference tests each
+        # segment's strict interior (seg.start < m < seg.end,
+        # vbx_segmenter.py:36), so a shared boundary point is NOT speech
+        # and merging across it would change contains_point there.
+        merged = []
+        for a, b in ivs:
+            if merged and a < merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], b))
+            else:
+                merged.append((a, b))
+        self.intervals = merged
         self._starts = [a for a, _ in self.intervals]
 
     @classmethod

@@ -152,8 +152,21 @@ def _fix_streamed_riff(blob: bytes) -> bytes:
     # mono s16le); 0xFFFFFFFE keeps the s16 sample alignment and read_wav
     # truncates payloads to whole frames
     ba[4:8] = min(len(blob) - 8, 0xFFFFFFFE).to_bytes(4, "little")
-    # find the data chunk header and fix its size field
-    idx = blob.find(b"data", 12)
+    # walk the chunk headers for the real data chunk — a raw find() can
+    # land inside LIST/INFO metadata text containing "data" (ffmpeg passes
+    # source tags through), patching 4 bytes of metadata and leaving the
+    # real bogus size in place.  Pre-data chunk sizes are valid (ffmpeg
+    # writes them before streaming); the data chunk's own bogus size is
+    # exactly what we are here to fix, and the walk stops there.
+    idx = -1
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        size = int.from_bytes(blob[pos + 4:pos + 8], "little")
+        if cid == b"data":
+            idx = pos
+            break
+        pos += 8 + size + (size & 1)
     if idx >= 0:
         size = min(len(blob) - idx - 8, 0xFFFFFFFE)
         if len(blob) - idx - 8 > size:

@@ -147,15 +147,22 @@ def _read_wav_stream(f, dtype, always_2d):
         if scale is not None:
             out *= out_dtype.type(scale)
     elif out_dtype == np.int16:
-        if scale is None:  # float source
-            out = np.clip(data * 32768.0, -32768, 32767).astype(np.int16)
+        if scale is None:  # float source: scale/round/clip in float64 —
+            # libsndfile rounds (lrintf); truncation loses 1 LSB on ~half
+            # of all samples
+            out = np.clip(np.rint(data.astype(np.float64) * 32768.0),
+                          -32768, 32767).astype(np.int16)
         elif bits == 16:
             out = data.copy()
         else:
             out = (data.astype(np.float64) * scale * 32768.0).astype(np.int16)
     elif out_dtype == np.int32:
         if scale is None:
-            out = np.clip(data * 2147483648.0, -(2**31), 2**31 - 1).astype(np.int32)
+            # float64 intermediate: in float32 the clip bound 2**31-1
+            # rounds UP to 2**31, making the clip a no-op and wrapping
+            # full-scale positive samples to INT32_MIN
+            out = np.clip(np.rint(data.astype(np.float64) * 2147483648.0),
+                          -(2**31), 2**31 - 1).astype(np.int32)
         else:
             out = (data.astype(np.float64) * scale * 2147483648.0).astype(np.int32)
     else:
@@ -182,7 +189,10 @@ def write_wav(path_or_file, data, samplerate, subtype="PCM_16"):
         bits, code = 16, _WAVE_FORMAT_PCM
     elif subtype == "PCM_32":
         if data.dtype.kind == "f":
-            payload = np.clip(np.rint(data * 2147483648.0),
+            # float64 intermediate: a float32 product at exactly 2**31
+            # passes the clip (whose bound rounds to 2**31 in float32)
+            # and wraps to INT32_MIN on the cast
+            payload = np.clip(np.rint(data.astype(np.float64) * 2147483648.0),
                               -(2 ** 31), 2 ** 31 - 1).astype("<i4")
         else:
             payload = data.astype("<i4")

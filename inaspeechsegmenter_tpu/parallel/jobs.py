@@ -61,6 +61,12 @@ class JobServer:
 
     def get_job(self, msg):
         with self._lock:
+            if not self.lsource:
+                # same exception class the reference's pop-from-empty
+                # raises (pyro_server.py:54), but without first skewing
+                # the lease counter, and with a message that tells the
+                # racing worker to drain instead of looking like a crash
+                raise IndexError("no jobs left")
             print("[jobserver] lease job #%d to %s" % (self.i, msg))
             self.i += 1
             return (self.lsource.pop(0), self.ldest.pop(0))
@@ -94,16 +100,28 @@ class JobServer:
         Without this, a timed-out ``get_njobs`` whose reply was lost would
         lease the NEXT batch on retry and silently orphan the first one.
         """
+        from collections import OrderedDict
+
         jobserver = self
         replay_lock = threading.Lock()
-        replay = {}          # client -> (last_id, last_response_line)
-        client_locks = {}    # client -> per-client execution lock
+        # LRU-bounded: every restarted worker mints a fresh client id
+        # (hostname-pid-counter), so an unbounded dict leaks one entry —
+        # holding a full lease line — per worker restart over a
+        # long-serving re-feed farm.  1024 live clients is far above any
+        # real fleet; evicting an ACTIVE client's entry would only cost
+        # one retried lease, never correctness.
+        replay = OrderedDict()       # client -> (last_id, last_response)
+        client_locks = OrderedDict()  # client -> per-client execution lock
+        cap = 1024
 
         def _client_lock(client):
             with replay_lock:
                 lk = client_locks.get(client)
                 if lk is None:
                     lk = client_locks[client] = threading.Lock()
+                client_locks.move_to_end(client)
+                while len(client_locks) > cap:
+                    client_locks.popitem(last=False)
                 return lk
 
         def _execute(req):
@@ -139,12 +157,17 @@ class JobServer:
                         with _client_lock(client):
                             with replay_lock:
                                 last = replay.get(client)
+                                if last is not None:
+                                    replay.move_to_end(client)
                             if last is not None and last[0] == req_id:
                                 payload = last[1]
                             else:
                                 payload = _execute(req)
                                 with replay_lock:
                                     replay[client] = (req_id, payload)
+                                    replay.move_to_end(client)
+                                    while len(replay) > cap:
+                                        replay.popitem(last=False)
                     else:
                         payload = _execute(req)
                     self.wfile.write(payload)

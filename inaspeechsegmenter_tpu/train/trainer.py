@@ -134,12 +134,20 @@ class Trainer:
     # round-trip through one npz, shardings re-applied on restore so a
     # resumed run continues bit-identically on the same mesh.
 
+    @staticmethod
+    def _ckpt_path(path):
+        # np.savez appends '.npz' to extension-less paths but np.load does
+        # not — normalize once so save/restore round-trip with one path
+        return path if str(path).endswith(".npz") else str(path) + ".npz"
+
     def save_checkpoint(self, path):
         leaves = jax.tree_util.tree_leaves((self.params, self.opt_state))
-        np.savez(path, **{f"leaf_{i:05d}": np.asarray(a)
-                          for i, a in enumerate(leaves)})
+        np.savez(self._ckpt_path(path),
+                 **{f"leaf_{i:05d}": np.asarray(a)
+                    for i, a in enumerate(leaves)})
 
     def restore_checkpoint(self, path):
+        path = self._ckpt_path(path)
         treedef = jax.tree_util.tree_structure((self.params, self.opt_state))
         with np.load(path) as z:
             leaves = [z[k] for k in sorted(z.files)]

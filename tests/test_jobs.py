@@ -337,3 +337,20 @@ def test_inflight_duplicate_not_reexecuted(jobs_csv):
     finally:
         tcp.shutdown()
         tcp.server_close()
+
+
+def test_get_job_empty_queue_clean_error(tmp_path):
+    """A worker racing the last job gets a clean IndexError (reference
+    exception class) without skewing the lease counter."""
+    import pytest
+
+    from inaspeechsegmenter_tpu.parallel.jobs import JobServer
+
+    csv = tmp_path / "jobs.csv"
+    csv.write_text("source_path,dest_path\na.wav,a.csv\n")
+    srv = JobServer(str(csv))
+    srv.get_job("w1")
+    i_before = srv.i
+    with pytest.raises(IndexError, match="no jobs left"):
+        srv.get_job("w2")
+    assert srv.i == i_before

@@ -118,3 +118,16 @@ def test_fit_batch_not_divisible_by_mesh():
     import pytest
     with pytest.raises(ValueError, match="not divisible"):
         trainer.shard_batch(x, y)
+
+
+def test_checkpoint_roundtrip_extensionless_path(tmp_path):
+    """save_checkpoint/restore_checkpoint accept the SAME extension-less
+    path (np.savez appends .npz, np.load does not)."""
+    from inaspeechsegmenter_tpu.models.synthetic import build_patch_cnn
+    from inaspeechsegmenter_tpu.train import Trainer
+
+    spec, params = build_patch_cnn(21, 3, seed=0, size="small")
+    t = Trainer(spec, params, learning_rate=1e-3)
+    p = str(tmp_path / "ckpt")
+    t.save_checkpoint(p)
+    t.restore_checkpoint(p)

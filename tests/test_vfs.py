@@ -320,3 +320,19 @@ def test_xvec_layout_nondivisor_mesh(vfs, monkeypatch):
     for (ka, sa, xa), (kb, sb, xb) in zip(xv_m, xv_1):
         assert ka == kb and sa == sb
         np.testing.assert_allclose(xa, xb, rtol=1e-4, atol=1e-3)
+
+
+def test_timeline_overlapping_and_touching_intervals():
+    """Caller-injected timelines may carry overlapping intervals: queries
+    must honor the union.  Touching intervals stay SEPARATE because the
+    reference tests each segment's strict interior (vbx_segmenter.py:36)
+    — a shared boundary point is not speech."""
+    tl = SpeechTimeline([(0.0, 10.0), (2.0, 3.0)])
+    assert tl.contains_point(5.0)              # inside the spanning one
+    assert tl.overlap_duration(0.0, 10.0) == pytest.approx(10.0)
+    assert tl.total_duration() == pytest.approx(10.0)
+    touching = SpeechTimeline([(1.0, 2.0), (2.0, 3.0)])
+    assert len(touching) == 2
+    assert not touching.contains_point(2.0)    # strict interior only
+    assert touching.contains_point(1.5) and touching.contains_point(2.5)
+    assert touching.overlap_duration(0.0, 4.0) == pytest.approx(2.0)

@@ -117,3 +117,63 @@ def test_pcm24():
     blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
     out, sr = read_wav(blob, dtype="float64")
     np.testing.assert_allclose(out, vals / 8388608.0, atol=1e-12)
+
+
+def test_float_fullscale_to_int32_no_wrap(tmp_path):
+    """A full-scale float sample (1.0) read/written as int32 must clip to
+    INT32_MAX, not wrap to INT32_MIN (the clip bound 2**31-1 is
+    unrepresentable in float32, so float32 arithmetic wraps)."""
+    from inaspeechsegmenter_tpu.audio import read_wav, write_wav
+
+    sig = np.array([1.0, -1.0, 0.0, 0.5], np.float32)
+    p = str(tmp_path / "f32.wav")
+    write_wav(p, sig, 16000, subtype="FLOAT")
+    out, sr = read_wav(p, dtype="int32")
+    assert out[0] == 2**31 - 1 and out[1] == -(2**31)
+    # write path: PCM_32 from float32 full-scale
+    p2 = str(tmp_path / "i32.wav")
+    write_wav(p2, sig, 16000, subtype="PCM_32")
+    out2, _ = read_wav(p2, dtype="float64")
+    assert out2[0] > 0.99 and abs(out2[1] + 1.0) < 1e-9
+
+
+def test_float_to_int16_rounds_like_libsndfile(tmp_path):
+    """Float sources read as int16 round to nearest (libsndfile lrintf),
+    not truncate toward zero."""
+    from inaspeechsegmenter_tpu.audio import read_wav, write_wav
+
+    # 0.5000229*32768 = 16384.75: rint -> 16385, truncation -> 16384
+    sig = np.array([16384.75 / 32768.0, -16384.75 / 32768.0], np.float64)
+    p = str(tmp_path / "f64.wav")
+    write_wav(p, sig, 16000, subtype="DOUBLE")
+    out, _ = read_wav(p, dtype="int16")
+    assert out[0] == 16385 and out[1] == -16385
+
+
+def test_fix_streamed_riff_skips_metadata_containing_data():
+    """_fix_streamed_riff must patch the REAL data chunk header by walking
+    the chunk list — a raw find() lands inside LIST/INFO metadata text
+    containing 'data' (ffmpeg passes source tags through), corrupting the
+    metadata and leaving the bogus data size in place."""
+    import io as _io
+    import struct
+
+    from inaspeechsegmenter_tpu.audio import read_wav
+    from inaspeechsegmenter_tpu.audio.io import _fix_streamed_riff
+
+    payload = np.arange(100, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    info = b"INFO" + b"INAM" + struct.pack("<I", 16) + b"database lecture"
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", len(info)) + info
+            + b"data" + struct.pack("<I", 0xFFFFFFFF) + payload)
+    blob = b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE" + body
+    fixed = _fix_streamed_riff(blob)
+    assert b"database lecture" in fixed          # metadata untouched
+    data_off = 12 + 8 + len(fmt) + 8 + len(info)
+    assert fixed[data_off:data_off + 4] == b"data"
+    size = struct.unpack("<I", fixed[data_off + 4:data_off + 8])[0]
+    assert size == len(payload)
+    sig, sr = read_wav(_io.BytesIO(fixed), dtype="int16")
+    assert sr == 16000
+    np.testing.assert_array_equal(sig, np.arange(100, dtype=np.int16))
