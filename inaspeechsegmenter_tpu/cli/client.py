@@ -41,9 +41,18 @@ def main(argv=None):
     if args.vfs:
         from inaspeechsegmenter_tpu.vfs import VoiceFemininityScoring
 
+        mesh = None
+        if args.parallel:
+            # --parallel for VFS jobs: shard each file's x-vector window
+            # batches over the local devices (the ResNet dominates VFS
+            # cost; silently ignoring the flag here ran the farm at a
+            # fraction of expected throughput)
+            from inaspeechsegmenter_tpu.parallel import make_mesh
+
+            mesh = make_mesh()
         worker = VoiceFemininityScoring(
             gd_model_criteria=args.gd_model_criteria,
-            ffmpeg=args.ffmpeg_binary)
+            ffmpeg=args.ffmpeg_binary, mesh=mesh)
     else:
         from inaspeechsegmenter_tpu import Segmenter
 

@@ -27,20 +27,23 @@ def init_multihost(coordinator_address=None, num_processes=None,
     # `is None` (not falsy-or): an explicit process_id=0 — the coordinator —
     # must never be overridden by a stale JAX_PROCESS_ID in the environment
     if num_processes is None:
-        num_processes = os.environ.get("JAX_NUM_PROCESSES", 1)
+        num_processes = os.environ.get("JAX_NUM_PROCESSES")
     if process_id is None:
-        process_id = os.environ.get("JAX_PROCESS_ID", 0)
+        process_id = os.environ.get("JAX_PROCESS_ID")
+    # pass None through when unset: jax.distributed auto-detects process
+    # count/id from the cluster environment (TPU pod metadata, SLURM, ...);
+    # defaulting to a 1-process job here would make EVERY pod host claim to
+    # be the coordinator of its own single-host job
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=int(num_processes),
-        process_id=int(process_id))
+        num_processes=None if num_processes is None else int(num_processes),
+        process_id=None if process_id is None else int(process_id))
     return True
 
 
 def global_mesh(axis="data"):
-    """1-D mesh over every device in the (possibly multi-host) job."""
-    import jax
-    import numpy as np
-    from jax.sharding import Mesh
+    """1-D mesh over every device in the (possibly multi-host) job
+    (delegates to mesh.make_mesh — ONE owner of the mesh policy)."""
+    from .mesh import make_mesh
 
-    return Mesh(np.array(jax.devices()), (axis,))
+    return make_mesh(axis=axis)

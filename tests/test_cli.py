@@ -100,3 +100,66 @@ def test_setjobs_and_server_cli(tmp_path, capsys):
         assert "jobs from" in out and "queued" in out
     finally:
         tcp.shutdown()
+
+
+def test_setjobs_cli_usage_errors():
+    """setjobs uses argparse like its siblings: missing args and --help
+    exit cleanly with usage text instead of IndexError/tracebacks."""
+    import pytest
+
+    from inaspeechsegmenter_tpu.cli.setjobs import main
+
+    with pytest.raises(SystemExit) as e:
+        main([])
+    assert e.value.code != 0
+    with pytest.raises(SystemExit) as e:
+        main(["--help"])
+    assert e.value.code == 0
+
+
+def test_client_vfs_parallel_builds_mesh(monkeypatch, synthetic_model_dir):
+    """--parallel with --vfs shards x-vector batches over a local mesh
+    instead of being silently ignored."""
+    import inaspeechsegmenter_tpu.parallel as par
+    import inaspeechsegmenter_tpu.vfs as vfs_mod
+    from inaspeechsegmenter_tpu.cli.client import main
+
+    captured = {}
+
+    class FakeVFS:
+        def __init__(self, **kw):
+            captured.update(kw)
+
+    monkeypatch.setattr(vfs_mod, "VoiceFemininityScoring", FakeVFS)
+    monkeypatch.setattr(par, "client_work_loop",
+                        lambda uri, worker, **kw: captured.setdefault(
+                            "looped", True))
+    main(["tcp://127.0.0.1:1", "--vfs", "--parallel",
+          "--ffmpeg_binary", "none"])
+    assert captured["looped"] and captured["mesh"] is not None
+    assert captured["mesh"].devices.size >= 1
+    captured.clear()
+    main(["tcp://127.0.0.1:1", "--vfs", "--ffmpeg_binary", "none"])
+    assert captured["mesh"] is None
+
+
+def test_verify_tool_xvec_npz_report(tmp_path, capsys):
+    """The acceptance tool reports a registry-resolved native npz as a
+    native checkpoint instead of false-FAILing the raw-format loaders."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import verify_weights as vw
+    finally:
+        sys.path.pop(0)
+    import numpy as np
+
+    from inaspeechsegmenter_tpu.vfs import save_resnet_npz
+
+    p = str(tmp_path / "raw_81.npz")
+    save_resnet_npz(p, {"a": np.zeros(3), "b": [np.ones((2, 2))]})
+    vw.RESULTS.clear()
+    assert vw.report_pth(p) is True
+    out = capsys.readouterr().out
+    assert "native npz checkpoint" in out and "PASS" in out
