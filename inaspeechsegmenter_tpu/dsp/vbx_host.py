@@ -26,11 +26,17 @@ __all__ = [
 
 
 def framing(a, window, shift=1):
-    """Overlapping frames of ``a`` along axis 0, shape (n, window, ...)."""
+    """Overlapping frames of ``a`` along axis 0, shape (n, window, ...).
+
+    Returns a writable copy: the reference's as_strided result is
+    writable (notebook code mutates frames in place) while a
+    sliding_window_view is read-only."""
     view = np.lib.stride_tricks.sliding_window_view(a, window, axis=0)
     # the window axis comes last in sliding_window_view; the VBx layout
     # wants it right after the frame axis
-    return np.moveaxis(view, -1, 1)[::shift] if a.ndim > 1 else view[::shift]
+    out = (np.moveaxis(view, -1, 1)[::shift] if a.ndim > 1
+           else view[::shift])
+    return out.copy()
 
 
 def preemphasis(x, coef=0.97):

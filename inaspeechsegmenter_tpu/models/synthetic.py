@@ -166,7 +166,13 @@ def ensure_synthetic_env(size="full"):
     the directory."""
     import os
 
+    pre = os.environ.get("ISS_TPU_MODEL_DIR")
+    if pre:
+        # real (or otherwise chosen) weights already pointed at: installing
+        # stand-ins would waste tens of MB of generation+disk for files the
+        # registry could never reach
+        return pre
     d = os.path.expanduser("~/.cache/inaspeechsegmenter_tpu/synthetic")
     install_synthetic_models(d, size=size)
-    os.environ.setdefault("ISS_TPU_MODEL_DIR", d)
+    os.environ["ISS_TPU_MODEL_DIR"] = d
     return d

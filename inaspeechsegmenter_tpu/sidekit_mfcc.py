@@ -25,13 +25,21 @@ from .dsp.mel import htk_triangular_fbank
 def hz2mel(f, htk=True):
     if htk:
         return 2595 * np.log10(1 + np.asarray(f) / 700.0)
-    raise NotImplementedError("only the HTK mel scale is used here")
+    # Slaney scale (reference sidekit_mfcc.py:60-84), incl. the scalar
+    # squeeze for shape-(1,) inputs
+    from .dsp.mel import hz_to_mel_slaney
+
+    z = hz_to_mel_slaney(f)
+    return z[0] if z.shape == (1,) else z
 
 
 def mel2hz(z, htk=True):
     if htk:
         return 700.0 * (10.0 ** (np.asarray(z) / 2595.0) - 1)
-    raise NotImplementedError("only the HTK mel scale is used here")
+    from .dsp.mel import mel_to_hz_slaney
+
+    f = mel_to_hz_slaney(z)
+    return f[0] if f.shape == (1,) else f
 
 
 def pre_emphasis(input_sig, pre):
@@ -56,8 +64,10 @@ def framing(sig, win_size, win_shift=1, context=(0, 0), pad='zeros'):
         padded, win_size + sum(context), axis=0)
     frames = np.moveaxis(view, -1, 1)[::win_shift][:n]
     # the reference squeezes every unit axis (mono channel AND a single
-    # frame): framing(sig400, 400) -> (400,), not (1, 400)
-    return frames[:, None].squeeze()
+    # frame): framing(sig400, 400) -> (400,), not (1, 400).  Copy: the
+    # reference's as_strided result is writable (notebook code mutates
+    # frames in place); a sliding_window_view is read-only
+    return frames[:, None].squeeze().copy()
 
 
 def trfbank(fs, nfft, lowfreq, maxfreq, nlinfilt, nlogfilt, midfreq=1000):
@@ -71,8 +81,11 @@ def trfbank(fs, nfft, lowfreq, maxfreq, nlinfilt, nlogfilt, midfreq=1000):
 def power_spectrum(input_sig, fs=8000, win_time=0.025, shift=0.01,
                    prefac=0.97):
     """(spec, log_energy) with the reference's exact frame semantics
-    (reference sidekit_mfcc.py:200-237)."""
-    sig = np.asarray(input_sig, np.float32)
+    (reference sidekit_mfcc.py:200-237).  The input dtype is preserved for
+    the frame math — the reference computes at float64 when fed the
+    io.media2sig16kmono default float64 signal and only the spectrum is
+    stored as float32 (its PARAM_TYPE)."""
+    sig = np.asarray(input_sig)
     win = int(round(win_time * fs))
     hop = int(shift * fs)
     n = (len(sig) - win) // hop + 1

@@ -17,6 +17,25 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 
+def prefetch_depth():
+    """Producer-thread depth: ``ISS_PREFETCH`` when it parses, else the
+    core-count default (one-ahead only on >=4-core hosts — on low-core
+    hosts concurrent producers contend with the device driver, measured 2x
+    slower on a 1-core TPU host).  A malformed value warns and falls back
+    instead of aborting the whole corpus job at batch start."""
+    import warnings
+
+    default = 2 if (os.cpu_count() or 1) >= 4 else 1
+    raw = os.environ.get("ISS_PREFETCH", "").strip()
+    if raw:
+        try:
+            return max(1, int(raw))
+        except ValueError:
+            warnings.warn(f"ignoring malformed ISS_PREFETCH={raw!r}; "
+                          f"using the default depth {default}")
+    return default
+
+
 def staged_producer(stage, skipifexist=False, nbtry=1, trydelay=2.):
     """Build the standard corpus ``produce`` callback: skipifexist check,
     output-dir mkdir, retried ``stage(src)``, reference status tuples
@@ -59,8 +78,7 @@ def run_prefetched(items, produce, consume, verbose=False):
     t0 = time.time()
     lmsg = []
     items = list(items)
-    default_depth = "2" if (os.cpu_count() or 1) >= 4 else "1"
-    depth = max(1, int(os.environ.get("ISS_PREFETCH", default_depth)))
+    depth = prefetch_depth()
     with ThreadPoolExecutor(max_workers=depth) as pool:
         futs = {i: pool.submit(produce, items[i])
                 for i in range(min(depth, len(items)))}

@@ -136,7 +136,8 @@ int64_t gcd64(int64_t a, int64_t b) { return b == 0 ? a : gcd64(b, a % b); }
 
 extern "C" {
 
-// Fill (sr, channels, n_frames, format); returns 0 on success, -1 on error.
+// Fill (sr, channels, n_frames, bits_per_sample); returns 0 on success,
+// -1 on error.
 int64_t iss_wav_info(const uint8_t* data, int64_t len, int32_t* sr,
                      int32_t* channels, int64_t* n_frames, int32_t* bits) {
   WavInfo w;

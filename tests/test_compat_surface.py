@@ -190,3 +190,59 @@ def test_vbx_segmenter_helpers():
     assert is_mid_speech(1.0, 3.0, vad)          # mid 2.0 in speech
     assert not is_mid_speech(3.0, 5.0, vad)      # mid 4.0 in music
     assert is_mid_speech(4.5, 6.5, vad)          # mid 5.5 in 2nd interval
+
+
+def test_slaney_mel_scale_matches_reference():
+    """hz2mel/mel2hz htk=False (Slaney) must match the reference branch,
+    including the scalar squeeze for shape-(1,) inputs."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_sidekit_mfcc", "/root/reference/inaSpeechSegmenter/sidekit_mfcc.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from inaspeechsegmenter_tpu.sidekit_mfcc import hz2mel, mel2hz
+
+    f = np.array([0.0, 250.0, 999.0, 1000.0, 4000.0, 7999.0])
+    np.testing.assert_allclose(hz2mel(f, htk=False),
+                               ref.hz2mel(f, htk=False), rtol=1e-12)
+    z = np.array([0.0, 10.0, 15.0, 25.0, 40.0])
+    np.testing.assert_allclose(mel2hz(z, htk=False),
+                               ref.mel2hz(z, htk=False), rtol=1e-12)
+    assert np.isscalar(hz2mel(np.array([440.0]), htk=False)) or \
+        np.ndim(hz2mel(np.array([440.0]), htk=False)) == 0
+
+
+def test_framing_returns_writable_frames(rng):
+    """The reference's framing returns writable frames (as_strided);
+    notebook code mutates them in place — ours must allow that too."""
+    from inaspeechsegmenter_tpu import features_vbx, sidekit_mfcc
+
+    sig = rng.standard_normal(4000)
+    f1 = features_vbx.framing(sig, 400, 160)
+    f1 -= f1.mean(axis=1, keepdims=True)        # must not raise
+    f2 = sidekit_mfcc.framing(sig, 400, 160)
+    f2 -= f2.mean(axis=1, keepdims=True)
+    assert f1.shape[1] == 400 and f2.shape[1] == 400
+
+
+def test_power_spectrum_float64_matches_reference(rng):
+    """power_spectrum preserves the input dtype: float64 signals (the
+    reference io default) must reproduce the reference bit-for-bit."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_sidekit_mfcc2",
+        "/root/reference/inaSpeechSegmenter/sidekit_mfcc.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from inaspeechsegmenter_tpu.sidekit_mfcc import power_spectrum
+
+    sig = rng.standard_normal(16000).astype(np.float64)
+    spec_ours, loge_ours = power_spectrum(sig, fs=16000)
+    spec_ref, loge_ref = ref.power_spectrum(sig, fs=16000)
+    assert loge_ours.dtype == loge_ref.dtype == np.float64
+    np.testing.assert_array_equal(loge_ours, loge_ref)
+    np.testing.assert_allclose(spec_ours, spec_ref, rtol=1e-6, atol=1e-8)

@@ -105,3 +105,33 @@ def test_media_too_short_clean_error(synthetic_model_dir, tmp_path):
     seg = Segmenter(vad_engine="smn", detect_gender=False, ffmpeg=None)
     with pytest.raises(ValueError, match="too short"):
         seg(p)
+
+
+def test_prefetch_depth_malformed_env(monkeypatch):
+    """A malformed ISS_PREFETCH warns and falls back to the core-count
+    default instead of aborting the whole corpus job at batch start."""
+    import pytest
+
+    from inaspeechsegmenter_tpu.utils.prefetch import prefetch_depth
+
+    monkeypatch.setenv("ISS_PREFETCH", "4")
+    assert prefetch_depth() == 4
+    monkeypatch.setenv("ISS_PREFETCH", "auto")
+    with pytest.warns(UserWarning, match="ISS_PREFETCH"):
+        assert prefetch_depth() >= 1
+    monkeypatch.setenv("ISS_PREFETCH", "")
+    assert prefetch_depth() >= 1
+
+
+def test_ensure_synthetic_env_respects_preset(monkeypatch, tmp_path):
+    """A pre-set ISS_TPU_MODEL_DIR (real weights) short-circuits synthetic
+    generation entirely."""
+    from inaspeechsegmenter_tpu.models import synthetic
+
+    real = tmp_path / "real_weights"
+    real.mkdir()
+    monkeypatch.setenv("ISS_TPU_MODEL_DIR", str(real))
+    monkeypatch.setattr(synthetic, "install_synthetic_models",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("generated stand-ins")))
+    assert synthetic.ensure_synthetic_env(size="small") == str(real)

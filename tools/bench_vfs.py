@@ -111,7 +111,9 @@ def main():
     # is core-count-aware.  Multi-core production hosts get depth 2.
     os.environ["ISS_XVEC_SPEECH_ONLY"] = "1"
     os.environ.pop("ISS_PREFETCH", None)
-    depth = "2" if (os.cpu_count() or 1) >= 4 else "1"
+    from inaspeechsegmenter_tpu.utils.prefetch import prefetch_depth
+
+    depth = prefetch_depth()
     outs = [os.path.join(tmp, f"b{i}.csv") for i in range(2)]
     for h in halves:  # warm the half-length buckets
         vfs(h)
