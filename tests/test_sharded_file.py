@@ -137,3 +137,34 @@ def test_sharded_start_sec_offset(seg, engine, media_dir):
     base = engine.segment_feats_sharded(*feats, 0)
     off = engine.segment_feats_sharded(*feats, 7.5)
     assert off == [(lab, a + 7.5, b + 7.5) for lab, a, b in base]
+
+
+def test_sharded_nondivisor_mesh_equals_fused(seg, rng):
+    """run_sharded on a mesh whose device count (5) does not divide the
+    chunk count: the ceil-per-device padding must still reproduce the
+    fused program exactly."""
+    import jax.numpy as jnp
+
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK
+    from inaspeechsegmenter_tpu.parallel.mesh import make_mesh
+    from inaspeechsegmenter_tpu.pipeline import bucket_chunks
+    from inaspeechsegmenter_tpu.segmenter import patch_counts
+
+    t = 3 * CHUNK - 77                       # 3 chunks over 5 devices
+    mspec, loge = _random_feats(rng, t)
+    bucket = bucket_chunks(-(-t // CHUNK)) * CHUNK
+    mspec_pad = np.zeros((bucket, 24), np.float32)
+    mspec_pad[:t] = mspec
+    loge_pad = np.full(bucket, -np.inf, np.float32)
+    loge_pad[:t] = loge
+    n_frames_patch, n20 = patch_counts(t, 0)
+
+    vp = seg.vad.model.params
+    gp = seg.gender.model.params
+    want = np.asarray(seg.pipeline.run(
+        vp, gp, jnp.asarray(mspec_pad), jnp.asarray(loge_pad),
+        t, n_frames_patch, n20))[:n20]
+    got = np.asarray(seg.pipeline.run_sharded(
+        vp, gp, jnp.asarray(mspec_pad), jnp.asarray(loge_pad),
+        t, n_frames_patch, n20, make_mesh(5)))[:n20]
+    np.testing.assert_array_equal(got, want)
