@@ -103,3 +103,46 @@ def synthetic_model_dir(tmp_path_factory):
 @pytest.fixture()
 def rng():
     return np.random.default_rng(1234)
+
+
+_TPU_PROBE = {}
+
+
+def require_live_tpu(timeout=90):
+    """Probe the session-default platform (outside the suite's CPU pin) in
+    a subprocess: skip if no TPU is visible OR the tunneled link is
+    stalled (it stalls for tens of minutes at a time — an on-TPU test
+    would otherwise burn its whole subprocess timeout before failing).
+    The result is cached for the session."""
+    import subprocess
+
+    if "res" not in _TPU_PROBE:
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        code = ("import sys, jax, jax.numpy as jnp\n"
+                "if jax.devices()[0].platform != 'tpu':\n"
+                "    sys.exit(77)\n"
+                "x = jnp.ones((256, 256))\n"
+                "print(float((x @ x)[0, 0]))\n")
+        try:
+            r = subprocess.run([sys.executable, "-c", code], env=env,
+                               capture_output=True, text=True,
+                               timeout=timeout)
+            _TPU_PROBE["res"] = ("no-tpu" if r.returncode == 77 else
+                                 "ok" if r.returncode == 0 else
+                                 f"probe rc={r.returncode}")
+        except subprocess.TimeoutExpired:
+            _TPU_PROBE["res"] = "stalled"
+    res = _TPU_PROBE["res"]
+    if res == "no-tpu":
+        pytest.skip("no TPU visible outside the test platform pin")
+    elif res == "stalled":
+        pytest.skip("TPU link stalled (probe matmul timed out)")
+    elif res != "ok":
+        pytest.skip(f"TPU probe failed ({res})")
+
+
+@pytest.fixture()
+def live_tpu():
+    """Skip unless a real TPU is visible AND its link answers a matmul."""
+    require_live_tpu()

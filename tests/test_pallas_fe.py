@@ -38,7 +38,7 @@ def test_kernel_matches_jnp_real(frontends, musanmix_sig):
 
 
 @pytest.mark.slow
-def test_kernel_native_on_tpu():
+def test_kernel_native_on_tpu(live_tpu):
     """Native (non-interpret) Mosaic compile + parity, on real TPU only.
 
     The suite pins JAX to a virtual CPU platform, so this runs the check in

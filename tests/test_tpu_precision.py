@@ -49,7 +49,7 @@ def _frames(segments, step=0.02):
 
 
 @pytest.mark.slow
-def test_high_vs_highest_frame_budget(tmp_path, media_dir):
+def test_high_vs_highest_frame_budget(tmp_path, media_dir, live_tpu):
     # also drop ISS_TPU_MODEL_DIR: the session-scoped synthetic fixture
     # leaks a size='small' dir through it, which would silently replace
     # the full-shape models this gate is supposed to measure
