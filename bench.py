@@ -51,6 +51,19 @@ def synth_audio(seconds, sr=16000, seed=0):
 
 def main():
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
+    from inaspeechsegmenter_tpu.utils.env import wait_for_device
+    # the tunneled device link stalls for tens of minutes at a time: wait
+    # (bounded) for it to answer instead of hanging the harness, and emit
+    # a parseable record if it never does.  This must run BEFORE
+    # enable_compilation_cache: the cache scopes per backend, which
+    # initializes the backend and would itself hang on a dead link.
+    if not wait_for_device(float(os.environ.get("ISS_BENCH_LINK_WAIT",
+                                                "1800"))):
+        print(json.dumps({
+            "metric": "segmentation_realtime_factor_1chip",
+            "value": 0, "unit": "x_realtime", "vs_baseline": 0,
+            "error": "device link stalled; no measurement possible"}))
+        return
     enable_compilation_cache()
     # deterministic full-size synthetic stand-ins: the bench must measure
     # the same weights on every host.  ISS_TPU_MODEL_DIR is pointed at the

@@ -31,7 +31,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
+    from inaspeechsegmenter_tpu.utils.env import wait_for_device
 
+    # bounded wait for the tunneled link (see bench.py): the cache setup
+    # below initializes the backend and would hang on a dead link
+    if not wait_for_device(float(os.environ.get("ISS_BENCH_LINK_WAIT",
+                                                "1800"))):
+        print(json.dumps({
+            "metric": "vfs_realtime_factor_1chip", "value": 0,
+            "unit": "x_realtime", "vs_baseline": 0,
+            "error": "device link stalled; no measurement possible"}))
+        return
     enable_compilation_cache()
     from inaspeechsegmenter_tpu.models.synthetic import ensure_synthetic_env
 
