@@ -100,6 +100,7 @@ def test_setjobs_and_server_cli(tmp_path, capsys):
         assert "jobs from" in out and "queued" in out
     finally:
         tcp.shutdown()
+        tcp.server_close()
 
 
 def test_setjobs_cli_usage_errors():
@@ -148,7 +149,8 @@ def test_verify_tool_xvec_npz_report(tmp_path, capsys):
     native checkpoint instead of false-FAILing the raw-format loaders."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
     try:
         import verify_weights as vw
     finally:

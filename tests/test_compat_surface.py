@@ -132,9 +132,6 @@ def test_mel_fbank_mx_reference_signature(ref_features_vbx):
 
 def test_sidekit_framing_pre_emphasis(rng):
     """framing/pre_emphasis reproduce the reference sidekit semantics."""
-    import importlib.util
-    import os
-
     from inaspeechsegmenter_tpu.sidekit_mfcc import framing, pre_emphasis
 
     sig = rng.standard_normal(2000).astype(np.float32)
@@ -195,12 +192,9 @@ def test_vbx_segmenter_helpers():
 def test_slaney_mel_scale_matches_reference():
     """hz2mel/mel2hz htk=False (Slaney) must match the reference branch,
     including the scalar squeeze for shape-(1,) inputs."""
-    import importlib.util
+    from conftest import load_ref_module
 
-    spec = importlib.util.spec_from_file_location(
-        "ref_sidekit_mfcc", "/root/reference/inaSpeechSegmenter/sidekit_mfcc.py")
-    ref = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ref)
+    ref = load_ref_module("sidekit_mfcc")
 
     from inaspeechsegmenter_tpu.sidekit_mfcc import hz2mel, mel2hz
 
@@ -230,13 +224,9 @@ def test_framing_returns_writable_frames(rng):
 def test_power_spectrum_float64_matches_reference(rng):
     """power_spectrum preserves the input dtype: float64 signals (the
     reference io default) must reproduce the reference bit-for-bit."""
-    import importlib.util
+    from conftest import load_ref_module
 
-    spec = importlib.util.spec_from_file_location(
-        "ref_sidekit_mfcc2",
-        "/root/reference/inaSpeechSegmenter/sidekit_mfcc.py")
-    ref = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ref)
+    ref = load_ref_module("sidekit_mfcc")
 
     from inaspeechsegmenter_tpu.sidekit_mfcc import power_spectrum
 

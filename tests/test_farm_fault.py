@@ -40,8 +40,13 @@ class CopyWorker:
             if skipifexist and os.path.exists(dst):
                 continue
             time.sleep(self.delay)
-            with open(src) as f, open(dst, "w") as g:
+            # write-to-temp + rename: a SIGKILL between open and write
+            # must not leave a truncated dst that skipifexist recovery
+            # would treat as done
+            tmp = dst + ".part%d" % os.getpid()
+            with open(src) as f, open(tmp, "w") as g:
                 g.write(f.read())
+            os.replace(tmp, dst)
             n += 1
         return (0.0, n, 0.0, [])
 
@@ -117,3 +122,4 @@ def test_farm_crash_recovery(tmp_path):
                 assert f.read() == g.read()
     finally:
         tcp.shutdown()
+        tcp.server_close()

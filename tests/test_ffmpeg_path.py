@@ -85,7 +85,10 @@ def test_ffmpeg_start_stop(fake_ffmpeg, tmp_path, rng):
 
 
 def test_ffmpeg_error_propagates(fake_ffmpeg):
-    with pytest.raises(Exception):
+    # the decode error contract: ffmpeg's nonzero exit surfaces as a
+    # RuntimeError carrying its stderr (audio/io.py:100) — a bare
+    # Exception assert would also pass on unrelated crashes
+    with pytest.raises(RuntimeError):
         media2sig16kmono("/nonexistent/file.mp3", ffmpeg=fake_ffmpeg)
 
 

@@ -64,6 +64,7 @@ def test_tcp_roundtrip(jobs_csv):
         client.close()
     finally:
         tcp.shutdown()
+        tcp.server_close()
 
 
 def test_stop_after_dispatch(jobs_csv):
@@ -72,7 +73,10 @@ def test_stop_after_dispatch(jobs_csv):
     client = JobClient(uri)
     client.get_njobs("drain", nbjobs=50)
     tcp._thread.join(timeout=5)
-    assert not tcp._thread.is_alive()
+    try:
+        assert not tcp._thread.is_alive()
+    finally:
+        tcp.server_close()
 
 
 def test_empty_jobs_csv(tmp_path):
@@ -104,6 +108,7 @@ def test_tcp_rejects_unknown_method(jobs_csv):
             assert json.loads(f.readline()) == {"result": True}
     finally:
         tcp.shutdown()
+        tcp.server_close()
 
 
 def test_client_times_out_on_unresponsive_server():

@@ -92,8 +92,10 @@ def test_native_roundtrip(tmp_path, rng):
     imported.save_native(npz)
     again = ImportedModel.from_native(npz)
     x = rng.standard_normal((5, 10)).astype(np.float32)
-    np.testing.assert_allclose(np.asarray(imported(x)), np.asarray(again(x)),
-                               atol=0)
+    # a serialization roundtrip of identical weights must be BIT-exact
+    # (allclose's default rtol would hide a lossy save_native)
+    np.testing.assert_array_equal(np.asarray(imported(x)),
+                                  np.asarray(again(x)))
 
 
 def test_keras2_style_spec(rng):

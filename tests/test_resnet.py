@@ -6,7 +6,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-from tests.conftest import load_ref_module  # noqa: E402
+from conftest import load_ref_module  # noqa: E402
 from inaspeechsegmenter_tpu.models.resnet import ResNetXVector  # noqa: E402
 
 

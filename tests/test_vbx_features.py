@@ -180,7 +180,6 @@ def test_features_from_shared_pcm_exact_bucket_tail(monkeypatch):
     assert sum(int(p.shape[0]) for p in pcm) >= n
     # the grown chunk count stays on the bucket ladder so the streaming
     # tail program's shape is shared with ordinary files
-    from inaspeechsegmenter_tpu.pipeline import bucket_chunks
     assert bucket_chunks(len(outs)) == len(outs)
     shared = np.asarray(fe.features_from_pcm(pcm, len(sig)))
     np.testing.assert_array_equal(direct, shared)
