@@ -43,7 +43,7 @@ class CopyWorker:
             # write-to-temp + rename: a SIGKILL between open and write
             # must not leave a truncated dst that skipifexist recovery
             # would treat as done
-            tmp = dst + ".part%d" % os.getpid()
+            tmp = dst + ".part" + str(os.getpid())
             with open(src) as f, open(tmp, "w") as g:
                 g.write(f.read())
             os.replace(tmp, dst)
