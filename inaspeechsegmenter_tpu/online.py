@@ -1,0 +1,245 @@
+"""Online (incremental) segmentation of a growing recording.
+
+Framework extension — the reference is strictly file-at-a-time (its
+`Segmenter.__call__` decodes a complete file, reference segmenter.py:279-294).
+This wraps the SAME streaming chunk programs the offline path uses
+(`pipeline.run_streaming` / `dsp/sidekit.mspec_loge_chunks`) behind an
+append-only API, so a caller can follow a recording while it is being
+written (tape capture, live ingest, `tail -f`-style corpus arrival):
+
+    online = OnlineSegmenter(segmenter)
+    while capturing:
+        online.feed(next_pcm_block)          # any size, any cadence
+        print(online.current())              # provisional labels so far
+    lseg = online.finalize()                 # EXACT == segmenter.segment_signal(all_pcm)
+
+Guarantees and costs:
+
+* ``finalize()`` is exactly equal to the offline result on the full
+  signal (tests/test_online.py): features are computed in the offline
+  path's own upload groups (identical slices, identical programs —
+  including the int16 zero-elision codec), and the final decode is the
+  same `run_streaming` call `Segmenter.segment_signal` makes.
+* ``current()`` is PROVISIONAL: the newest chunk's CNN emissions are
+  computed without its right halo and the global Viterbi smoothing can
+  revise earlier labels as context arrives (the same contract as
+  streaming-ASR partial hypotheses).  Every decode reuses the
+  bucket-ladder tail programs, so no per-length recompiles.
+* Memory is bounded: raw PCM is dropped as soon as its feature group is
+  computed; only the per-chunk device features (~0.4 MB per 41 s chunk)
+  and cached emissions are retained — the state the global decode needs
+  anyway.
+* Availability granularity is one upload group (``ISS_UPLOAD_CHUNKS``
+  x ~41 s chunks): a chunk's features are computed when its group's
+  samples (plus the 2*HOP lookahead) have been fed, exactly like the
+  offline grouping — this is what makes finalize() bit-identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .dsp.sidekit import CHUNK, HOP, frame_count
+from .pipeline import STREAM_HALO, bucket_chunks, bucket_rows
+
+
+class OnlineSegmenter:
+    """Incremental counterpart of `Segmenter.segment_signal`.
+
+    :param segmenter: a constructed `Segmenter` (its frontend, CNNs and
+        compiled program caches are shared).
+    :param start_sec: label offset in seconds, like the offline APIs.
+    """
+
+    def __init__(self, segmenter, start_sec=0):
+        self.seg = segmenter
+        self.start_sec = start_sec
+        self._group = max(1, int(os.environ.get("ISS_UPLOAD_CHUNKS", "3")))
+        self._dtype = None          # decided by the first feed
+        self._pending = None        # raw samples not yet feature-computed
+        self._consumed = 0          # samples dropped from the buffer front
+        self._total = 0             # samples fed overall
+        self._mels = []             # [(mspec_c, loge_c)] device arrays
+        self._probs = {}            # chunk idx -> final vad probs (device)
+        self._finalized = None
+
+    # -- feeding -----------------------------------------------------------
+    def feed(self, pcm):
+        """Append a block of 16 kHz mono samples (int16, or float in
+        [-1, 1]).  All blocks must share one kind — the offline result
+        this converges to is computed on a single-dtype signal."""
+        if self._finalized is not None:
+            raise RuntimeError("feed() after finalize()")
+        pcm = np.asarray(pcm)
+        kind = np.int16 if pcm.dtype == np.int16 else np.float32
+        if self._dtype is None:
+            self._dtype = kind
+            self._pending = np.zeros(0, kind)
+        elif kind != self._dtype:
+            raise TypeError(
+                f"feed dtype changed from {np.dtype(self._dtype).name} to "
+                f"{pcm.dtype.name}; an online stream must keep one sample "
+                "kind (the offline equivalence is per-signal)")
+        self._pending = np.concatenate(
+            [self._pending, pcm.astype(self._dtype, copy=False)])
+        self._total += len(pcm)
+        self._compute_ready_groups(final_pad_chunks=None)
+        return self
+
+    def _group_slice_end(self, g, k):
+        # offline group slice: sig[g*CHUNK*HOP : ((g+k)*CHUNK + 2)*HOP]
+        return ((g + k) * CHUNK + 2) * HOP
+
+    def _compute_group(self, g, k, raw):
+        """Feature-compute chunks g..g+k-1 from the raw group slice —
+        byte-identical to dsp/sidekit.mspec_loge_chunks' group loop, so
+        programs AND values are shared with the offline path."""
+        import jax.numpy as jnp
+
+        from .dsp.codec import BLOCK, pack_zero_elide
+        from .dsp.sidekit import _upload_codec_enabled
+
+        fe = self.seg.frontend
+        codec = _upload_codec_enabled() and self._dtype is np.int16
+        packed = pack_zero_elide(raw) if codec else None
+        if packed is not None:
+            m, l = fe._one_chunk_packed(jnp.asarray(packed),
+                                        len(raw) // BLOCK)
+        else:
+            m, l = fe._one_chunk(jnp.asarray(raw))
+        for j in range(k):
+            self._mels.append((m[j * CHUNK:(j + 1) * CHUNK],
+                               l[j * CHUNK:(j + 1) * CHUNK]))
+
+    def _compute_ready_groups(self, final_pad_chunks):
+        """Compute every group whose slice is fully fed; with
+        ``final_pad_chunks`` set (finalize), zero-pad and compute through
+        that chunk count."""
+        while True:
+            g = len(self._mels)
+            if final_pad_chunks is not None and g >= final_pad_chunks:
+                return
+            k = self._group
+            if final_pad_chunks is not None:
+                k = min(k, final_pad_chunks - g)
+            end = self._group_slice_end(g, k)
+            have = self._consumed + len(self._pending)
+            if final_pad_chunks is None and have < end:
+                return
+            start = g * CHUNK * HOP
+            raw = np.zeros(end - start, self._dtype)
+            avail = self._pending[start - self._consumed:
+                                  max(start - self._consumed,
+                                      end - self._consumed)]
+            raw[:len(avail)] = avail
+            self._compute_group(g, k, raw)
+            for c in range(max(g, 1), g + k):
+                self._final_probs(c - 1)      # c-1's right halo now exists
+            # drop raw samples the next groups will never read — but only
+            # once the streaming decode is committed to (>= 2 chunks):
+            # the short-media fallbacks in current()/finalize() hand the
+            # WHOLE buffer back to the offline fused path
+            keep_from = (g + k) * CHUNK * HOP
+            if g + k >= 2 and keep_from > self._consumed:
+                cut = min(keep_from, have) - self._consumed
+                self._pending = self._pending[cut:]
+                self._consumed += cut
+
+    # -- emissions ---------------------------------------------------------
+    def _chunk_probs(self, c, zero_right=False):
+        """VAD CNN emissions for chunk c (cached when its right halo is
+        real); mirrors run_streaming's halo construction exactly."""
+        import jax.numpy as jnp
+
+        if not zero_right and c in self._probs:
+            return self._probs[c]
+        pipe = self.seg.pipeline
+        pipe._ensure_stream_jits()
+        nmel_all = self._mels[0][0].shape[1]
+        zeros = jnp.zeros((STREAM_HALO, nmel_all), self._mels[0][0].dtype)
+        prev = self._mels[c - 1][0][-STREAM_HALO:] if c else zeros
+        nxt = (zeros if zero_right or c + 1 >= len(self._mels)
+               else self._mels[c + 1][0][:STREAM_HALO])
+        p = pipe._jit_vad_chunk(self.seg.vad.model.params, prev,
+                                self._mels[c][0], nxt, c == 0)
+        if not zero_right:
+            self._probs[c] = p
+        return p
+
+    def _final_probs(self, c):
+        if 0 <= c < len(self._mels) - 1 and c not in self._probs:
+            self._chunk_probs(c)
+
+    # -- decoding ----------------------------------------------------------
+    def _decode(self, mels, probs, n_frames):
+        import jax.numpy as jnp
+
+        pipe = self.seg.pipeline
+        pipe._ensure_stream_jits()
+        m = len(mels)
+        pm = bucket_chunks(m)
+        nmel_all = mels[0][0].shape[1]
+        nout = probs[0].shape[1]
+        pad = pm - m
+        mspec = jnp.concatenate([x for x, _ in mels]
+                                + ([jnp.zeros((pad * CHUNK, nmel_all))]
+                                   if pad else []))
+        loge = jnp.concatenate([x for _, x in mels]
+                               + ([jnp.full(pad * CHUNK, -jnp.inf)]
+                                  if pad else []))
+        pv = jnp.concatenate(list(probs)
+                             + ([jnp.full((pad * CHUNK // 2, nout), 0.5)]
+                                if pad else []))
+        n20 = (n_frames + 1) // 2
+        gp = (self.seg.gender.model.params if self.seg.detect_gender
+              else None)
+        ids = pipe._jit_tail(self.seg.vad.model.params, gp, mspec, loge,
+                             pv, jnp.int32(n_frames), jnp.int32(n_frames),
+                             jnp.int32(n20), None)
+        return np.asarray(ids)[:n20]
+
+    def current(self):
+        """Provisional labels over everything fed so far
+        -> [(label, start_s, stop_s)].  May be revised by later feeds;
+        `finalize()` gives the exact offline result."""
+        if self._finalized is not None:
+            return self._finalized
+        m = len(self._mels)
+        if m < 2:
+            # less than two chunks of features: the offline path would use
+            # the fused whole-file program anyway — do the same on the
+            # (still fully buffered) prefix
+            if self._total == 0:
+                return []
+            return self.seg.segment_signal(self._pending, self.start_sec)
+        n = min(frame_count(self._total), m * CHUNK)
+        probs = [self._chunk_probs(c) for c in range(m - 1)]
+        probs.append(self._chunk_probs(m - 1, zero_right=True))
+        return self.seg.ids_to_lseg(self._decode(self._mels, probs, n),
+                                    self.start_sec)
+
+    def finalize(self):
+        """Flush the stream and return the EXACT offline labels — equal to
+        ``segmenter.segment_signal(<everything fed>)``.  Idempotent."""
+        if self._finalized is not None:
+            return self._finalized
+        t = frame_count(self._total)
+        n_chunks = bucket_rows(t) // CHUNK
+        if t < 68 or n_chunks < 2:
+            # the offline path takes its fused short-media branch here;
+            # nothing has been dropped yet (no group completed), so just
+            # hand it the whole buffer (same errors on too-short input)
+            self._finalized = self.seg.segment_signal(
+                self._pending if self._total else
+                np.zeros(0, self._dtype or np.float32), self.start_sec)
+            return self._finalized
+        self._compute_ready_groups(final_pad_chunks=n_chunks)
+        mels = self._mels[:n_chunks]
+        probs = [self._chunk_probs(c) for c in range(n_chunks - 1)]
+        probs.append(self._chunk_probs(n_chunks - 1, zero_right=True))
+        n20 = (t + 1) // 2
+        self._finalized = self.seg.ids_to_lseg(
+            self._decode(mels, probs, t), self.start_sec)
+        return self._finalized

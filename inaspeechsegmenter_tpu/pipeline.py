@@ -298,14 +298,9 @@ class FusedPipeline:
                                states_g + 1 + self.vad_nout, labels)
         return labels
 
-    def run_streaming(self, vad_params, g_params, chunks, n_frames,
-                      n_frames_patch, n20):
-        """Streaming execution over per-chunk features.
-
-        :param chunks: [(mspec_c (C,nmel'), loge_c (C,))] device arrays,
-            C = feature chunk size (even), len(chunks) >= 2.
-        :return: (T20pad,) int32 labels, T20pad = len(chunks)*C/2.
-        """
+    def _ensure_stream_jits(self):
+        """Lazy-build the per-chunk streaming programs (shared by
+        run_streaming and the OnlineSegmenter)."""
         if self._jit_vad_chunk is None:
             # the guard attribute (_jit_vad_chunk) is assigned LAST:
             # concurrent first callers (prefetch threads sharing one
@@ -320,6 +315,16 @@ class FusedPipeline:
             self._jit_vad_chunk = jax.jit(
                 partial(self._chunk_probs_impl, self.vad_forward,
                         self.vad_nmel), static_argnums=(4,))
+
+    def run_streaming(self, vad_params, g_params, chunks, n_frames,
+                      n_frames_patch, n20):
+        """Streaming execution over per-chunk features.
+
+        :param chunks: [(mspec_c (C,nmel'), loge_c (C,))] device arrays,
+            C = feature chunk size (even), len(chunks) >= 2.
+        :return: (T20pad,) int32 labels, T20pad = len(chunks)*C/2.
+        """
+        self._ensure_stream_jits()
         spec_gender = (self.gender is not None and
                        os.environ.get("ISS_STREAM_GENDER", "0") == "1")
         nmel_all = chunks[0][0].shape[1]

@@ -1,0 +1,110 @@
+"""OnlineSegmenter: incremental feeding converges EXACTLY to the offline
+result at finalize(), provisional decodes are well-formed, and memory is
+bounded (raw PCM dropped once feature groups are computed)."""
+
+import numpy as np
+import pytest
+
+from inaspeechsegmenter_tpu import OnlineSegmenter
+
+
+@pytest.fixture(scope="module")
+def seg(synthetic_model_dir):
+    from inaspeechsegmenter_tpu import Segmenter
+
+    return Segmenter(vad_engine="smn", detect_gender=True, ffmpeg=None,
+                     allow_download=False)
+
+
+def _broadcastish(n, seed, dtype=np.int16):
+    rng = np.random.default_rng(seed)
+    sig = rng.standard_normal(n).astype(np.float32) * 0.1
+    sig[: n // 6] = 0.0                         # leading silence
+    sig[n // 2: n // 2 + n // 8] = 0.0          # mid silence (elidable)
+    if dtype == np.int16:
+        return np.clip(np.rint(sig * 32768.0), -32768, 32767).astype(np.int16)
+    return sig
+
+
+def _check_tiling(lseg, start=0.0):
+    assert lseg, "empty provisional lseg"
+    assert lseg[0][1] == start
+    for (l1, s1, e1), (l2, s2, e2) in zip(lseg[:-1], lseg[1:]):
+        assert e1 == s2 and l1 != l2
+
+
+@pytest.mark.parametrize("dtype", [np.int16, np.float32])
+def test_finalize_equals_offline(seg, dtype):
+    """Feed in ragged pieces -> finalize() == segment_signal(whole)."""
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+
+    n = int(3.4 * CHUNK * HOP)                  # 3.4 chunks (~2.3 min)
+    sig = _broadcastish(n, seed=1, dtype=dtype)
+    online = OnlineSegmenter(seg)
+    rng = np.random.default_rng(2)
+    pos = 0
+    while pos < n:
+        step = int(rng.uniform(0.3, 2.9) * 16000)
+        online.feed(sig[pos: pos + step])
+        pos += step
+    got = online.finalize()
+    want = seg.segment_signal(sig)
+    assert got == want
+    assert online.finalize() == want            # idempotent
+
+
+def test_finalize_short_media_equals_offline(seg):
+    """Sub-chunk input routes through the same fused short-media path."""
+    sig = _broadcastish(16000 * 5, seed=3)      # 5 s, far below one chunk
+    online = OnlineSegmenter(seg)
+    online.feed(sig[: 16000 * 2]).feed(sig[16000 * 2:])
+    assert online.finalize() == seg.segment_signal(sig)
+
+
+def test_current_provisional_and_memory_bound(seg):
+    """current() yields a well-formed tiling at every stage; raw PCM is
+    dropped once its feature group is computed (bounded memory)."""
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+
+    n = int(6.2 * CHUNK * HOP)
+    sig = _broadcastish(n, seed=4)
+    online = OnlineSegmenter(seg)
+    piece = CHUNK * HOP                         # one chunk per feed
+    saw_streaming_provisional = False
+    for pos in range(0, n, piece):
+        online.feed(sig[pos: pos + piece])
+        lseg = online.current()
+        _check_tiling(lseg)
+        if len(online._mels) >= 2:
+            saw_streaming_provisional = True
+            # buffer holds at most the not-yet-computed suffix + lookahead
+            assert len(online._pending) <= (online._group + 1) * piece
+    assert saw_streaming_provisional
+    assert online._consumed > 0                 # raw prefix was dropped
+    assert online.finalize() == seg.segment_signal(sig)
+
+
+def test_start_sec_offset(seg):
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+
+    sig = _broadcastish(int(2.5 * CHUNK * HOP), seed=5)
+    online = OnlineSegmenter(seg, start_sec=7.5)
+    online.feed(sig)
+    got = online.finalize()
+    assert got == seg.segment_signal(sig, start_sec=7.5)
+    assert got[0][1] == 7.5
+
+
+def test_feed_dtype_change_rejected(seg):
+    online = OnlineSegmenter(seg)
+    online.feed(np.zeros(1000, np.int16))
+    with pytest.raises(TypeError, match="dtype"):
+        online.feed(np.zeros(1000, np.float32))
+
+
+def test_feed_after_finalize_rejected(seg):
+    online = OnlineSegmenter(seg)
+    online.feed(_broadcastish(16000 * 3, seed=6))
+    online.finalize()
+    with pytest.raises(RuntimeError):
+        online.feed(np.zeros(100, np.int16))
