@@ -150,6 +150,29 @@ class SidekitFrontend:
         m, l = self._chunk_feats(s)
         return (m, l, pcm) if keep_pcm else (m, l)
 
+    def group_feats(self, raw, k, keep_pcm=False, codec=None):
+        """Feature-compute ONE upload group: ``raw`` covers k chunks plus
+        the 2*HOP lookahead (length (k*CHUNK+2)*HOP).  The single owner of
+        the group computation (codec gating + per-chunk split), shared by
+        `mspec_loge_chunks` and the OnlineSegmenter — whose finalize()
+        bit-exactness depends on issuing IDENTICAL group calls.
+        -> ([(mspec_c, loge_c)] * k, pcm_part | None)."""
+        if codec is None:
+            codec = _upload_codec_enabled() and raw.dtype == np.int16
+        packed = pack_zero_elide(raw) if codec else None
+        if packed is not None:
+            # digital-silence blocks elided: ships fewer link bytes,
+            # reconstructed bit-exactly on device (dsp/codec.py)
+            res = self._one_chunk_packed(jnp.asarray(packed),
+                                         len(raw) // BLOCK,
+                                         keep_pcm=keep_pcm)
+        else:
+            res = self._one_chunk(jnp.asarray(raw), keep_pcm=keep_pcm)
+        m, l = res[0], res[1]
+        outs = [(m[j * CHUNK:(j + 1) * CHUNK],
+                 l[j * CHUNK:(j + 1) * CHUNK]) for j in range(k)]
+        return outs, (res[2] if keep_pcm else None)
+
     # ---- public API ------------------------------------------------------
     def mspec_loge_chunks(self, sig, pad_frames_to: int | None = None,
                           keep_pcm: bool = False):
@@ -208,21 +231,11 @@ class SidekitFrontend:
         for g in range(0, n_chunks, group):
             k = min(group, n_chunks - g)
             raw = sig[g * CHUNK * HOP: ((g + k) * CHUNK + 2) * HOP]
-            packed = pack_zero_elide(raw) if codec else None
-            if packed is not None:
-                # digital-silence blocks elided: ships fewer link bytes,
-                # reconstructed bit-exactly on device (dsp/codec.py)
-                res = self._one_chunk_packed(jnp.asarray(packed),
-                                             len(raw) // BLOCK,
-                                             keep_pcm=keep_pcm)
-            else:
-                res = self._one_chunk(jnp.asarray(raw), keep_pcm=keep_pcm)
-            m, l = res[0], res[1]
+            chunks_g, pcm = self.group_feats(raw, k, keep_pcm=keep_pcm,
+                                             codec=codec)
             if keep_pcm:
-                pcm_parts.append(res[2])
-            for j in range(k):
-                outs.append((m[j * CHUNK:(j + 1) * CHUNK],
-                             l[j * CHUNK:(j + 1) * CHUNK]))
+                pcm_parts.append(pcm)
+            outs.extend(chunks_g)
         if want_pcm:
             return outs, t, (pcm_parts if keep_pcm else None)
         return outs, t

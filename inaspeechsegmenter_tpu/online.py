@@ -16,15 +16,21 @@ written (tape capture, live ingest, `tail -f`-style corpus arrival):
 Guarantees and costs:
 
 * ``finalize()`` is exactly equal to the offline result on the full
-  signal (tests/test_online.py): features are computed in the offline
-  path's own upload groups (identical slices, identical programs —
-  including the int16 zero-elision codec), and the final decode is the
-  same `run_streaming` call `Segmenter.segment_signal` makes.
+  signal (tests/test_online.py): features are computed through the
+  offline path's own `SidekitFrontend.group_feats` (identical slices,
+  identical programs — including the int16 zero-elision codec), chunk
+  emissions use the same halo'd streaming programs, and the decode goes
+  through the shared `pipeline.stream_decode`.  With ``ISS_STREAMING=0``
+  (the documented switch that disables the streaming chunk programs)
+  the whole object becomes a buffering passthrough to the offline fused
+  path, exactly like `Segmenter.segment_signal` under that flag.
 * ``current()`` is PROVISIONAL: the newest chunk's CNN emissions are
   computed without its right halo and the global Viterbi smoothing can
   revise earlier labels as context arrives (the same contract as
   streaming-ASR partial hypotheses).  Every decode reuses the
-  bucket-ladder tail programs, so no per-length recompiles.
+  bucket-ladder tail programs, so no per-length recompiles, and the
+  provisional emission is cached per mel count so a tight
+  feed()/current() polling loop dispatches no redundant CNN work.
 * Memory is bounded: raw PCM is dropped as soon as its feature group is
   computed; only the per-chunk device features (~0.4 MB per 41 s chunk)
   and cached emissions are retained — the state the global decode needs
@@ -42,7 +48,7 @@ import os
 import numpy as np
 
 from .dsp.sidekit import CHUNK, HOP, frame_count
-from .pipeline import STREAM_HALO, bucket_chunks, bucket_rows
+from .pipeline import STREAM_HALO, bucket_rows
 
 
 class OnlineSegmenter:
@@ -57,13 +63,24 @@ class OnlineSegmenter:
         self.seg = segmenter
         self.start_sec = start_sec
         self._group = max(1, int(os.environ.get("ISS_UPLOAD_CHUNKS", "3")))
+        # honor the documented streaming kill switch: buffer everything
+        # and hand the offline fused path the whole signal
+        self._passthrough = (
+            os.environ.get("ISS_STREAMING", "1") == "0"
+            or not hasattr(segmenter.frontend, "group_feats"))
         self._dtype = None          # decided by the first feed
         self._pending = None        # raw samples not yet feature-computed
         self._consumed = 0          # samples dropped from the buffer front
         self._total = 0             # samples fed overall
         self._mels = []             # [(mspec_c, loge_c)] device arrays
-        self._probs = {}            # chunk idx -> final vad probs (device)
+        self._probs = {}            # chunk idx -> final (vad, gender) probs
+        self._prov = None           # (mel_count, vad, gender) cache
         self._finalized = None
+
+    @property
+    def _spec_gender(self):
+        return (self.seg.detect_gender
+                and os.environ.get("ISS_STREAM_GENDER", "0") == "1")
 
     # -- feeding -----------------------------------------------------------
     def feed(self, pcm):
@@ -85,38 +102,19 @@ class OnlineSegmenter:
         self._pending = np.concatenate(
             [self._pending, pcm.astype(self._dtype, copy=False)])
         self._total += len(pcm)
-        self._compute_ready_groups(final_pad_chunks=None)
+        if not self._passthrough:
+            self._compute_ready_groups(final_pad_chunks=None)
         return self
 
     def _group_slice_end(self, g, k):
         # offline group slice: sig[g*CHUNK*HOP : ((g+k)*CHUNK + 2)*HOP]
         return ((g + k) * CHUNK + 2) * HOP
 
-    def _compute_group(self, g, k, raw):
-        """Feature-compute chunks g..g+k-1 from the raw group slice —
-        byte-identical to dsp/sidekit.mspec_loge_chunks' group loop, so
-        programs AND values are shared with the offline path."""
-        import jax.numpy as jnp
-
-        from .dsp.codec import BLOCK, pack_zero_elide
-        from .dsp.sidekit import _upload_codec_enabled
-
-        fe = self.seg.frontend
-        codec = _upload_codec_enabled() and self._dtype is np.int16
-        packed = pack_zero_elide(raw) if codec else None
-        if packed is not None:
-            m, l = fe._one_chunk_packed(jnp.asarray(packed),
-                                        len(raw) // BLOCK)
-        else:
-            m, l = fe._one_chunk(jnp.asarray(raw))
-        for j in range(k):
-            self._mels.append((m[j * CHUNK:(j + 1) * CHUNK],
-                               l[j * CHUNK:(j + 1) * CHUNK]))
-
     def _compute_ready_groups(self, final_pad_chunks):
-        """Compute every group whose slice is fully fed; with
-        ``final_pad_chunks`` set (finalize), zero-pad and compute through
-        that chunk count."""
+        """Feature-compute every group whose slice is fully fed — via the
+        offline path's own `group_feats`, so programs AND values are
+        shared; with ``final_pad_chunks`` set (finalize), zero-pad and
+        compute through that chunk count."""
         while True:
             g = len(self._mels)
             if final_pad_chunks is not None and g >= final_pad_chunks:
@@ -134,7 +132,8 @@ class OnlineSegmenter:
                                   max(start - self._consumed,
                                       end - self._consumed)]
             raw[:len(avail)] = avail
-            self._compute_group(g, k, raw)
+            chunks_g, _ = self.seg.frontend.group_feats(raw, k)
+            self._mels.extend(chunks_g)
             for c in range(max(g, 1), g + k):
                 self._final_probs(c - 1)      # c-1's right halo now exists
             # drop raw samples the next groups will never read — but only
@@ -149,12 +148,18 @@ class OnlineSegmenter:
 
     # -- emissions ---------------------------------------------------------
     def _chunk_probs(self, c, zero_right=False):
-        """VAD CNN emissions for chunk c (cached when its right halo is
-        real); mirrors run_streaming's halo construction exactly."""
+        """CNN emissions (vad, gender-or-None) for chunk c, mirroring
+        run_streaming's halo construction exactly.  Final emissions (real
+        right halo) are cached per chunk; the provisional zero-right
+        emission is cached per mel count so polling current() between
+        chunk arrivals dispatches nothing new."""
         import jax.numpy as jnp
 
         if not zero_right and c in self._probs:
             return self._probs[c]
+        if zero_right and self._prov is not None \
+                and self._prov[0] == (len(self._mels), self._spec_gender):
+            return self._prov[1]
         pipe = self.seg.pipeline
         pipe._ensure_stream_jits()
         nmel_all = self._mels[0][0].shape[1]
@@ -162,11 +167,17 @@ class OnlineSegmenter:
         prev = self._mels[c - 1][0][-STREAM_HALO:] if c else zeros
         nxt = (zeros if zero_right or c + 1 >= len(self._mels)
                else self._mels[c + 1][0][:STREAM_HALO])
-        p = pipe._jit_vad_chunk(self.seg.vad.model.params, prev,
-                                self._mels[c][0], nxt, c == 0)
-        if not zero_right:
-            self._probs[c] = p
-        return p
+        pv = pipe._jit_vad_chunk(self.seg.vad.model.params, prev,
+                                 self._mels[c][0], nxt, c == 0)
+        pg = None
+        if self._spec_gender:
+            pg = pipe._jit_g_chunk(self.seg.gender.model.params, prev,
+                                   self._mels[c][0], nxt, c == 0)
+        if zero_right:
+            self._prov = ((len(self._mels), self._spec_gender), (pv, pg))
+        else:
+            self._probs[c] = (pv, pg)
+        return pv, pg
 
     def _final_probs(self, c):
         if 0 <= c < len(self._mels) - 1 and c not in self._probs:
@@ -174,30 +185,23 @@ class OnlineSegmenter:
 
     # -- decoding ----------------------------------------------------------
     def _decode(self, mels, probs, n_frames):
-        import jax.numpy as jnp
-
-        pipe = self.seg.pipeline
-        pipe._ensure_stream_jits()
-        m = len(mels)
-        pm = bucket_chunks(m)
-        nmel_all = mels[0][0].shape[1]
-        nout = probs[0].shape[1]
-        pad = pm - m
-        mspec = jnp.concatenate([x for x, _ in mels]
-                                + ([jnp.zeros((pad * CHUNK, nmel_all))]
-                                   if pad else []))
-        loge = jnp.concatenate([x for _, x in mels]
-                               + ([jnp.full(pad * CHUNK, -jnp.inf)]
-                                  if pad else []))
-        pv = jnp.concatenate(list(probs)
-                             + ([jnp.full((pad * CHUNK // 2, nout), 0.5)]
-                                if pad else []))
+        """Shared streaming-tail decode (pipeline.stream_decode pads the
+        chunk count to the bucket ladder, so both provisional and final
+        decodes reuse the offline tail program set)."""
+        pv = [v for v, _ in probs]
+        pg = [g for _, g in probs] if self._spec_gender else None
+        if pg is not None and any(g is None for g in pg):
+            # ISS_STREAM_GENDER flipped on mid-stream: earlier cached
+            # emissions have no gender part — fall back to the in-tail
+            # gender pass (label-identical per the chunked==fused
+            # equivalence, tests/test_segmenter_e2e.py)
+            pg = None
         n20 = (n_frames + 1) // 2
-        gp = (self.seg.gender.model.params if self.seg.detect_gender
-              else None)
-        ids = pipe._jit_tail(self.seg.vad.model.params, gp, mspec, loge,
-                             pv, jnp.int32(n_frames), jnp.int32(n_frames),
-                             jnp.int32(n20), None)
+        ids = self.seg.pipeline.stream_decode(
+            self.seg.vad.model.params,
+            self.seg.gender.model.params if self.seg.detect_gender
+            else None,
+            mels, pv, pg, n_frames, n_frames, n20)
         return np.asarray(ids)[:n20]
 
     def current(self):
@@ -210,8 +214,9 @@ class OnlineSegmenter:
         if m < 2:
             # less than two chunks of features: the offline path would use
             # the fused whole-file program anyway — do the same on the
-            # (still fully buffered) prefix
-            if self._total == 0:
+            # (still fully buffered) prefix.  Under a complete 25 ms
+            # analysis window there is nothing to label yet.
+            if frame_count(self._total) == 0:
                 return []
             return self.seg.segment_signal(self._pending, self.start_sec)
         n = min(frame_count(self._total), m * CHUNK)
@@ -227,7 +232,7 @@ class OnlineSegmenter:
             return self._finalized
         t = frame_count(self._total)
         n_chunks = bucket_rows(t) // CHUNK
-        if t < 68 or n_chunks < 2:
+        if self._passthrough or t < 68 or n_chunks < 2:
             # the offline path takes its fused short-media branch here;
             # nothing has been dropped yet (no group completed), so just
             # hand it the whole buffer (same errors on too-short input)
@@ -239,7 +244,6 @@ class OnlineSegmenter:
         mels = self._mels[:n_chunks]
         probs = [self._chunk_probs(c) for c in range(n_chunks - 1)]
         probs.append(self._chunk_probs(n_chunks - 1, zero_right=True))
-        n20 = (t + 1) // 2
         self._finalized = self.seg.ids_to_lseg(
             self._decode(mels, probs, t), self.start_sec)
         return self._finalized

@@ -339,10 +339,42 @@ class FusedPipeline:
             if spec_gender:
                 probs_gl.append(self._jit_g_chunk(g_params, prev_tail, m_c,
                                                   next_head, c == 0))
-        probs_v = jnp.concatenate(probs)
-        mspec_pad = jnp.concatenate([m for m, _ in chunks])
-        loge_pad = jnp.concatenate([l for _, l in chunks])
-        probs_g = jnp.concatenate(probs_gl) if spec_gender else None
+        return self.stream_decode(vad_params, g_params, chunks, probs,
+                                  probs_gl if spec_gender else None,
+                                  n_frames, n_frames_patch, n20)
+
+    def stream_decode(self, vad_params, g_params, chunks, probs_v_list,
+                      probs_g_list, n_frames, n_frames_patch, n20):
+        """Assemble per-chunk features + emissions and run the streaming
+        tail program.  ONE owner of the tail argument construction, shared
+        by run_streaming and the OnlineSegmenter (whose finalize()
+        exactness depends on calling the tail identically).  A non-ladder
+        chunk count is padded to the bucket ladder (inert rows: the tail
+        masks by n_frames/n20), so every decode reuses the same compiled
+        tail set as the offline path."""
+        self._ensure_stream_jits()
+        m = len(chunks)
+        pad = bucket_chunks(m) - m
+        rows = chunks[0][0].shape[0]
+        probs_v_list = list(probs_v_list)
+        mels = [x for x, _ in chunks]
+        loges = [x for _, x in chunks]
+        if pad:
+            mels.append(jnp.zeros((pad * rows, chunks[0][0].shape[1]),
+                                  chunks[0][0].dtype))
+            loges.append(jnp.full(pad * rows, -jnp.inf))
+            probs_v_list.append(jnp.full(
+                (pad * rows // 2, probs_v_list[0].shape[1]), 0.5))
+        probs_v = jnp.concatenate(probs_v_list)
+        mspec_pad = jnp.concatenate(mels)
+        loge_pad = jnp.concatenate(loges)
+        probs_g = None
+        if probs_g_list is not None:
+            probs_g_list = list(probs_g_list)
+            if pad:
+                probs_g_list.append(jnp.full(
+                    (pad * rows // 2, probs_g_list[0].shape[1]), 0.5))
+            probs_g = jnp.concatenate(probs_g_list)
         return self._jit_tail(vad_params, g_params, mspec_pad, loge_pad,
                               probs_v, jnp.int32(n_frames),
                               jnp.int32(n_frames_patch), jnp.int32(n20),

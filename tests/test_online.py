@@ -108,3 +108,72 @@ def test_feed_after_finalize_rejected(seg):
     online.finalize()
     with pytest.raises(RuntimeError):
         online.feed(np.zeros(100, np.int16))
+
+
+def test_tiny_first_feeds_do_not_crash(seg):
+    """The documented live loop starts with small capture callbacks: under
+    one 25 ms analysis window current() returns [] instead of raising."""
+    online = OnlineSegmenter(seg)
+    online.feed(np.zeros(256, np.int16))
+    assert online.current() == []
+    online.feed(np.zeros(100, np.int16))
+    assert online.current() == []
+
+
+def test_streaming_kill_switch_passthrough(seg, monkeypatch):
+    """ISS_STREAMING=0 (the documented switch disabling the streaming
+    chunk programs) turns the online object into a buffering passthrough
+    to the fused offline path — same result, no chunk programs."""
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+
+    monkeypatch.setenv("ISS_STREAMING", "0")
+    sig = _broadcastish(int(2.4 * CHUNK * HOP), seed=8)
+    online = OnlineSegmenter(seg)
+    # the flag disables the streaming DECODE: neither run_streaming nor
+    # the shared stream_decode may run (feature chunking is used by the
+    # fused path too and stays)
+    monkeypatch.setattr(
+        seg.pipeline, "run_streaming",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("streamed")))
+    monkeypatch.setattr(
+        seg.pipeline, "stream_decode",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("streamed")))
+    for pos in range(0, len(sig), 16000 * 30):
+        online.feed(sig[pos: pos + 16000 * 30])
+    got = online.finalize()
+    assert got == seg.segment_signal(sig)
+
+
+def test_stream_gender_speculative_equals_offline(seg, monkeypatch):
+    """ISS_STREAM_GENDER=1: online finalize computes per-chunk gender
+    emissions like offline run_streaming and still equals the offline
+    result under the same flag."""
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+
+    monkeypatch.setenv("ISS_STREAM_GENDER", "1")
+    sig = _broadcastish(int(3.1 * CHUNK * HOP), seed=9)
+    online = OnlineSegmenter(seg)
+    for pos in range(0, len(sig), CHUNK * HOP):
+        online.feed(sig[pos: pos + CHUNK * HOP])
+    got = online.finalize()
+    assert got == seg.segment_signal(sig)
+
+
+def test_current_poll_reuses_provisional_emission(seg):
+    """Polling current() between chunk arrivals must not dispatch new CNN
+    work: the zero-right-halo emission is cached per mel count."""
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+
+    sig = _broadcastish(int(3.4 * CHUNK * HOP), seed=10)
+    online = OnlineSegmenter(seg)
+    online.feed(sig)
+    first = online.current()
+    calls = []
+    pipe = seg.pipeline
+    real = pipe._jit_vad_chunk
+    pipe._jit_vad_chunk = lambda *a, **k: (calls.append(1), real(*a, **k))[1]
+    try:
+        again = online.current()
+    finally:
+        pipe._jit_vad_chunk = real
+    assert again == first and calls == []
