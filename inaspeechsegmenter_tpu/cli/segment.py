@@ -46,6 +46,14 @@ def build_parser():
     parser.add_argument('-r', '--energy_ratio', default=0.03, type=float)
     parser.add_argument('--parallel', action='store_true',
                         help='Shard files across all local devices.')
+    parser.add_argument('--follow', action='store_true',
+                        help='Tail ONE growing PCM16 mono 16 kHz WAV file '
+                             '(a recording in progress): segment appended '
+                             'audio incrementally, finalize + export when '
+                             'the file stops growing.')
+    parser.add_argument('--follow_idle', type=float, default=10.0,
+                        help='Seconds without file growth before --follow '
+                             'finalizes.')
     return parser
 
 
@@ -82,7 +90,23 @@ def main(argv=None):
     with warnings.catch_warnings(), trace_cm:
         warnings.simplefilter('ignore')
         output_files = output_paths(input_files, odir, args.export_format)
-        if args.parallel:
+        if args.follow:
+            assert len(input_files) == 1, \
+                '--follow takes exactly one input file'
+            from inaspeechsegmenter_tpu.export import seg2csv, seg2textgrid
+            from inaspeechsegmenter_tpu.online import follow_wav
+
+            fexport = {'csv': seg2csv, 'textgrid': seg2textgrid}[
+                args.export_format]
+            lseg = follow_wav(
+                input_files[0], seg, idle_timeout=args.follow_idle,
+                on_update=lambda o: print(
+                    f'[follow] {len(o.current())} provisional segments',
+                    flush=True))
+            fexport(lseg, output_files[0])
+            print(f'[follow] finalized {len(lseg)} segments -> '
+                  f'{output_files[0]}', flush=True)
+        elif args.parallel:
             from inaspeechsegmenter_tpu.parallel import ParallelEngine
 
             ParallelEngine(seg).batch_process(

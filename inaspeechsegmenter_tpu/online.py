@@ -247,3 +247,78 @@ class OnlineSegmenter:
         self._finalized = self.seg.ids_to_lseg(
             self._decode(mels, probs, t), self.start_sec)
         return self._finalized
+
+
+def _wav_data_offset(path):
+    """Offset of the data payload in a (possibly still-growing) canonical
+    PCM16 mono 16 kHz WAV, or None while the header is incomplete.  Chunk
+    sizes of in-progress files are routinely bogus (writers back-patch
+    them on close), so only the chunk WALK is trusted, never the data
+    size."""
+    import struct
+
+    from .audio.wav import WavFormatError
+
+    with open(path, "rb") as f:
+        head = f.read(1 << 16)
+    if len(head) < 12:
+        return None
+    if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+        raise WavFormatError(f"{path}: not a RIFF/WAVE file")
+    pos, fmt = 12, None
+    while pos + 8 <= len(head):
+        cid = head[pos:pos + 4]
+        size = int.from_bytes(head[pos + 4:pos + 8], "little")
+        if cid == b"fmt " and pos + 8 + 16 <= len(head):
+            fmt = struct.unpack("<HHIIHH", head[pos + 8:pos + 24])
+        elif cid == b"data":
+            if fmt is None:
+                return None
+            code, channels, sr, _, _, bits = fmt
+            if (code, channels, sr, bits) != (1, 1, 16000, 16):
+                raise WavFormatError(
+                    f"{path}: follow mode needs PCM16 mono 16 kHz WAV, got "
+                    f"format={code} channels={channels} sr={sr} bits={bits}")
+            return pos + 8
+        pos += 8 + size + (size & 1)
+    return None
+
+
+def follow_wav(path, segmenter, idle_timeout=10.0, poll=0.5, start_sec=0,
+               on_update=None):
+    """Tail a GROWING PCM16 mono 16 kHz WAV file and return the final
+    labels once it stops growing.
+
+    Polls the file every ``poll`` seconds, feeds newly appended samples to
+    an `OnlineSegmenter`, and finalizes after ``idle_timeout`` seconds
+    without growth — the result then equals
+    ``segmenter.segment_signal(<the whole file's samples>)``.
+    ``on_update(online)`` is called after each growth step (e.g. to print
+    ``online.current()`` provisional labels).  In-progress chunk sizes in
+    the header are ignored (writers back-patch them on close)."""
+    import time
+
+    online = OnlineSegmenter(segmenter, start_sec=start_sec)
+    data_off = None
+    pos = 0
+    last_growth = time.time()
+    while True:
+        size = os.path.getsize(path) if os.path.exists(path) else 0
+        if data_off is None and size >= 12:
+            data_off = _wav_data_offset(path)
+            if data_off is not None:
+                pos = data_off
+                last_growth = time.time()
+        if data_off is not None and size - pos >= 2:
+            with open(path, "rb") as f:
+                f.seek(pos)
+                blob = f.read(((size - pos) // 2) * 2)
+            pos += len(blob)
+            online.feed(np.frombuffer(blob, "<i2"))
+            last_growth = time.time()
+            if on_update is not None:
+                on_update(online)
+        elif time.time() - last_growth >= idle_timeout:
+            return online.finalize()
+        else:
+            time.sleep(poll)

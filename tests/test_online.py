@@ -177,3 +177,83 @@ def test_current_poll_reuses_provisional_emission(seg):
     finally:
         pipe._jit_vad_chunk = real
     assert again == first and calls == []
+
+
+def _growing_wav_writer(path, sig, piece, delay):
+    """Write a canonical WAV header with a BOGUS (unpatched) data size,
+    then append samples in pieces — like a recorder writing to disk."""
+    import struct
+    import threading
+    import time
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    header = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+    def run():
+        with open(path, "wb") as f:
+            f.write(header[:16])                 # header lands in two steps
+            f.flush()
+            time.sleep(delay)
+            f.write(header[16:])
+            f.flush()
+            for pos in range(0, len(sig), piece):
+                time.sleep(delay)
+                f.write(sig[pos: pos + piece].astype("<i2").tobytes())
+                f.flush()
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    return th
+
+
+def test_follow_wav_equals_offline(seg, tmp_path):
+    """follow_wav tails a recorder-in-progress (bogus header sizes,
+    incremental appends) and finalizes to the exact offline labels."""
+    from inaspeechsegmenter_tpu.online import follow_wav
+
+    sig = _broadcastish(16000 * 30, seed=11)     # 30 s, sub-chunk
+    p = str(tmp_path / "grow.wav")
+    th = _growing_wav_writer(p, sig, piece=16000 * 5, delay=0.15)
+    updates = []
+    got = follow_wav(p, seg, idle_timeout=2.0, poll=0.1,
+                     on_update=lambda o: updates.append(o._total))
+    th.join(timeout=10)
+    assert got == seg.segment_signal(sig)
+    assert len(updates) >= 2 and updates == sorted(updates)
+
+
+def test_follow_wav_rejects_wrong_format(seg, tmp_path):
+    import struct
+
+    from inaspeechsegmenter_tpu.audio.wav import WavFormatError
+    from inaspeechsegmenter_tpu.online import follow_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)  # stereo 44k
+    p = tmp_path / "bad.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+                  + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", 0) + b"\x00" * 64)
+    with pytest.raises(WavFormatError, match="PCM16 mono 16 kHz"):
+        follow_wav(str(p), seg, idle_timeout=1.0, poll=0.05)
+
+
+def test_cli_follow(seg, synthetic_model_dir, tmp_path, capsys):
+    """CLI --follow drives follow_wav end to end and exports the csv."""
+    from inaspeechsegmenter_tpu.cli.segment import main
+
+    sig = _broadcastish(16000 * 20, seed=12)
+    p = str(tmp_path / "live.wav")
+    out = tmp_path / "out"
+    out.mkdir()
+    th = _growing_wav_writer(p, sig, piece=16000 * 10, delay=0.1)
+    main(["-i", p, "-o", str(out), "-b", "none",
+          "--follow", "--follow_idle", "2"])
+    th.join(timeout=10)
+    assert "finalized" in capsys.readouterr().out
+    want = tmp_path / "want.csv"
+    from inaspeechsegmenter_tpu.export import seg2csv
+
+    seg2csv(seg.segment_signal(sig), str(want))
+    assert (out / "live.csv").read_text() == want.read_text()
