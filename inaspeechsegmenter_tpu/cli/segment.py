@@ -66,7 +66,13 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
     args.ffmpeg_binary = resolve_ffmpeg(args.ffmpeg_binary)
-    input_files = expand_inputs(args.input, allow_urls=True)
+    if args.follow:
+        # the followed recording may not exist YET (a recorder about to
+        # start writing) — skip the exists-assert glob expansion
+        assert len(args.input) == 1, '--follow takes exactly one input file'
+        input_files = list(args.input)
+    else:
+        input_files = expand_inputs(args.input, allow_urls=True)
     odir = check_outdir(args.output_directory)
     bootstrap_runtime()
 
@@ -91,8 +97,6 @@ def main(argv=None):
         warnings.simplefilter('ignore')
         output_files = output_paths(input_files, odir, args.export_format)
         if args.follow:
-            assert len(input_files) == 1, \
-                '--follow takes exactly one input file'
             from inaspeechsegmenter_tpu.export import seg2csv, seg2textgrid
             from inaspeechsegmenter_tpu.online import follow_wav
 

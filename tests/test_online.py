@@ -247,6 +247,8 @@ def test_cli_follow(seg, synthetic_model_dir, tmp_path, capsys):
     p = str(tmp_path / "live.wav")
     out = tmp_path / "out"
     out.mkdir()
+    # the writer may not have created the file when main() starts —
+    # --follow accepts a not-yet-existing recording by design
     th = _growing_wav_writer(p, sig, piece=16000 * 10, delay=0.1)
     main(["-i", p, "-o", str(out), "-b", "none",
           "--follow", "--follow_idle", "2"])
@@ -257,3 +259,20 @@ def test_cli_follow(seg, synthetic_model_dir, tmp_path, capsys):
 
     seg2csv(seg.segment_signal(sig), str(want))
     assert (out / "live.csv").read_text() == want.read_text()
+
+
+@pytest.mark.parametrize("vad_engine,gender", [("sm", True), ("smn", False)])
+def test_finalize_equals_offline_engine_variants(synthetic_model_dir,
+                                                 vad_engine, gender):
+    """Exact offline equality holds for the sm engine and with gender
+    detection off (different label sets / tail programs)."""
+    from inaspeechsegmenter_tpu import Segmenter
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+
+    s = Segmenter(vad_engine=vad_engine, detect_gender=gender, ffmpeg=None,
+                  allow_download=False)
+    sig = _broadcastish(int(2.6 * CHUNK * HOP), seed=13)
+    online = OnlineSegmenter(s)
+    for pos in range(0, len(sig), 16000 * 20):
+        online.feed(sig[pos: pos + 16000 * 20])
+    assert online.finalize() == s.segment_signal(sig)
