@@ -102,11 +102,23 @@ def main(argv=None):
 
             fexport = {'csv': seg2csv, 'textgrid': seg2textgrid}[
                 args.export_format]
-            lseg = follow_wav(
-                input_files[0], seg, idle_timeout=args.follow_idle,
-                on_update=lambda o: print(
-                    f'[follow] {len(o.current())} provisional segments',
-                    flush=True))
+
+            def report(o):
+                if o.chunks_ready >= 2:
+                    # provisional decode reuses cached emissions; before
+                    # two chunks exist current() would re-segment the
+                    # whole buffered prefix per tick — print cheap
+                    # progress instead
+                    print(f'[follow] {o.seconds_fed:.0f}s fed, '
+                          f'{len(o.current())} provisional segments',
+                          flush=True)
+                else:
+                    print(f'[follow] {o.seconds_fed:.0f}s fed '
+                          '(buffering first chunks)', flush=True)
+
+            lseg = follow_wav(input_files[0], seg,
+                              idle_timeout=args.follow_idle,
+                              on_update=report)
             fexport(lseg, output_files[0])
             print(f'[follow] finalized {len(lseg)} segments -> '
                   f'{output_files[0]}', flush=True)

@@ -78,6 +78,16 @@ class OnlineSegmenter:
         self._finalized = None
 
     @property
+    def seconds_fed(self):
+        """Seconds of audio fed so far (cheap: no device work)."""
+        return self._total / 16000.0
+
+    @property
+    def chunks_ready(self):
+        """Feature chunks computed so far (cheap: no device work)."""
+        return len(self._mels)
+
+    @property
     def _spec_gender(self):
         return (self.seg.detect_gender
                 and os.environ.get("ISS_STREAM_GENDER", "0") == "1")
@@ -251,36 +261,44 @@ class OnlineSegmenter:
 
 def _wav_data_offset(path):
     """Offset of the data payload in a (possibly still-growing) canonical
-    PCM16 mono 16 kHz WAV, or None while the header is incomplete.  Chunk
-    sizes of in-progress files are routinely bogus (writers back-patch
-    them on close), so only the chunk WALK is trusted, never the data
-    size."""
+    PCM16 mono 16 kHz WAV, or None while the header is incomplete.  The
+    data chunk's own size is routinely bogus in files being written
+    (writers back-patch it on close), so only the chunk WALK is trusted —
+    via the shared `audio.wav._read_chunks` (which also handles pre-data
+    metadata chunks of any size and word alignment)."""
     import struct
 
-    from .audio.wav import WavFormatError
+    from .audio import wav as _wav
 
     with open(path, "rb") as f:
-        head = f.read(1 << 16)
-    if len(head) < 12:
-        return None
-    if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
-        raise WavFormatError(f"{path}: not a RIFF/WAVE file")
-    pos, fmt = 12, None
-    while pos + 8 <= len(head):
-        cid = head[pos:pos + 4]
-        size = int.from_bytes(head[pos + 4:pos + 8], "little")
-        if cid == b"fmt " and pos + 8 + 16 <= len(head):
-            fmt = struct.unpack("<HHIIHH", head[pos + 8:pos + 24])
-        elif cid == b"data":
-            if fmt is None:
-                return None
-            code, channels, sr, _, _, bits = fmt
-            if (code, channels, sr, bits) != (1, 1, 16000, 16):
-                raise WavFormatError(
-                    f"{path}: follow mode needs PCM16 mono 16 kHz WAV, got "
-                    f"format={code} channels={channels} sr={sr} bits={bits}")
-            return pos + 8
-        pos += 8 + size + (size & 1)
+        if len(f.read(12)) < 12:
+            return None                         # header still being written
+        f.seek(0)
+        fmt = None
+        for cid, size, offset in _wav._read_chunks(f):
+            if cid == b"fmt ":
+                f.seek(offset)
+                raw = f.read(size)
+                if len(raw) < 16:
+                    return None                 # fmt still being written
+                code, channels, sr, _, _, bits = struct.unpack(
+                    "<HHIIHH", raw[:16])
+                if code == _wav._WAVE_FORMAT_EXTENSIBLE and len(raw) >= 26:
+                    # real format = first 2 bytes of the SubFormat GUID
+                    # (WASAPI/libsndfile recorders write canonical PCM16
+                    # audio behind an extensible fmt chunk)
+                    code = struct.unpack("<H", raw[24:26])[0]
+                fmt = (code, channels, sr, bits)
+            elif cid == b"data":
+                if fmt is None:
+                    return None
+                if fmt != (1, 1, 16000, 16):
+                    code, channels, sr, bits = fmt
+                    raise _wav.WavFormatError(
+                        f"{path}: follow mode needs PCM16 mono 16 kHz WAV, "
+                        f"got format={code} channels={channels} sr={sr} "
+                        f"bits={bits}")
+                return offset
     return None
 
 
@@ -290,35 +308,51 @@ def follow_wav(path, segmenter, idle_timeout=10.0, poll=0.5, start_sec=0,
     labels once it stops growing.
 
     Polls the file every ``poll`` seconds, feeds newly appended samples to
-    an `OnlineSegmenter`, and finalizes after ``idle_timeout`` seconds
-    without growth — the result then equals
-    ``segmenter.segment_signal(<the whole file's samples>)``.
-    ``on_update(online)`` is called after each growth step (e.g. to print
-    ``online.current()`` provisional labels).  In-progress chunk sizes in
-    the header are ignored (writers back-patch them on close)."""
+    an `OnlineSegmenter` in bounded batches (one upload-group slice per
+    read: attaching to an already-hours-long file drains the backlog
+    without materializing it whole), and finalizes after ``idle_timeout``
+    seconds without file activity — the result then equals
+    ``segmenter.segment_signal(<the whole file's samples>)``.  ANY file
+    growth (header/metadata chunks included) counts as activity, so a
+    slow muxer prologue cannot trip the idle timer.  If no audio ever
+    arrives, raises TimeoutError instead of finalizing an empty stream.
+    ``on_update(online)`` is called after each feed batch."""
     import time
 
     online = OnlineSegmenter(segmenter, start_sec=start_sec)
     data_off = None
     pos = 0
-    last_growth = time.time()
+    last_size = -1
+    last_activity = time.time()
+    # one upload-group slice of int16 bytes per read
+    max_read = ((online._group * CHUNK + 2) * HOP) * 2
     while True:
         size = os.path.getsize(path) if os.path.exists(path) else 0
+        if size != last_size:
+            last_size = size
+            last_activity = time.time()
         if data_off is None and size >= 12:
             data_off = _wav_data_offset(path)
             if data_off is not None:
                 pos = data_off
-                last_growth = time.time()
         if data_off is not None and size - pos >= 2:
+            want = min(((size - pos) // 2) * 2, max_read)
             with open(path, "rb") as f:
                 f.seek(pos)
-                blob = f.read(((size - pos) // 2) * 2)
+                blob = f.read(want)
             pos += len(blob)
             online.feed(np.frombuffer(blob, "<i2"))
-            last_growth = time.time()
+            last_activity = time.time()
             if on_update is not None:
                 on_update(online)
-        elif time.time() - last_growth >= idle_timeout:
+            if len(blob) == max_read:
+                continue                        # backlog catch-up: no sleep
+        elif time.time() - last_activity >= idle_timeout:
+            if online._total == 0:
+                raise TimeoutError(
+                    f"--follow: no audio arrived in {path!r} within "
+                    f"{idle_timeout}s (the file "
+                    + ("never appeared" if not os.path.exists(path)
+                       else "has no data payload yet") + ")")
             return online.finalize()
-        else:
-            time.sleep(poll)
+        time.sleep(poll)

@@ -276,3 +276,67 @@ def test_finalize_equals_offline_engine_variants(synthetic_model_dir,
     for pos in range(0, len(sig), 16000 * 20):
         online.feed(sig[pos: pos + 16000 * 20])
     assert online.finalize() == s.segment_signal(sig)
+
+
+def test_follow_no_audio_times_out_cleanly(seg, tmp_path):
+    """Idle timeout with zero audio raises a clear TimeoutError (never a
+    deep-stack 'media too short' from finalizing an empty stream) — both
+    for a file that never appears and for a header-only file."""
+    from inaspeechsegmenter_tpu.online import follow_wav
+
+    with pytest.raises(TimeoutError, match="never appeared"):
+        follow_wav(str(tmp_path / "ghost.wav"), seg,
+                   idle_timeout=0.5, poll=0.05)
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    p = tmp_path / "headeronly.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+                  + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", 0xFFFFFFFF))
+    with pytest.raises(TimeoutError, match="no data payload"):
+        follow_wav(str(p), seg, idle_timeout=0.5, poll=0.05)
+
+
+def test_follow_extensible_wav_accepted(seg, tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE wrapping canonical PCM16 mono 16 kHz (WASAPI
+    recorders) is followed like the offline reader reads it."""
+    import struct
+
+    from inaspeechsegmenter_tpu.online import follow_wav
+
+    sig = _broadcastish(16000 * 4, seed=14)
+    sub = struct.pack("<H", 1) + b"\x00" * 14        # SubFormat GUID: PCM
+    fmt = (struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+           + struct.pack("<HHI", 22, 16, 1) + sub)
+    p = tmp_path / "ext.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+                  + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", 0xFFFFFFFF)
+                  + sig.astype("<i2").tobytes())
+    got = follow_wav(str(p), seg, idle_timeout=0.5, poll=0.05)
+    assert got == seg.segment_signal(sig)
+
+
+def test_follow_backlog_reads_are_bounded(seg, tmp_path, monkeypatch):
+    """Attaching to an already-long file drains the backlog in bounded
+    per-group reads, not one whole-file blob."""
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+    from inaspeechsegmenter_tpu.online import follow_wav
+
+    import struct
+
+    sig = _broadcastish(int(4.2 * CHUNK * HOP), seed=15)
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    p = tmp_path / "backlog.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+                  + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", 0xFFFFFFFF)
+                  + sig.astype("<i2").tobytes())
+    fed = []
+    got = follow_wav(str(p), seg, idle_timeout=0.5, poll=0.05,
+                     on_update=lambda o: fed.append(o._total))
+    max_batch = (3 * CHUNK + 2) * HOP       # one default upload group
+    steps = np.diff([0] + fed)
+    assert (steps <= max_batch).all() and len(fed) >= 2
+    assert got == seg.segment_signal(sig)
