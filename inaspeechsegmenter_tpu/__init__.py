@@ -15,8 +15,8 @@ __version__ = "0.1.0"
 
 from .segmenter import Segmenter
 from .export import seg2csv, seg2textgrid
-from .online import OnlineSegmenter
+from .online import OnlineSegmenter, OnlineVFS
 from .vfs import VoiceFemininityScoring
 
 __all__ = ["Segmenter", "seg2csv", "seg2textgrid", "VoiceFemininityScoring",
-           "OnlineSegmenter", "__version__"]
+           "OnlineSegmenter", "OnlineVFS", "__version__"]

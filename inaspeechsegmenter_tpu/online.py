@@ -47,6 +47,7 @@ import os
 
 import numpy as np
 
+from .annotations import SpeechTimeline
 from .dsp.sidekit import CHUNK, HOP, frame_count
 from .pipeline import STREAM_HALO, bucket_rows
 
@@ -356,3 +357,118 @@ def follow_wav(path, segmenter, idle_timeout=10.0, poll=0.5, start_sec=0,
                        else "has no data payload yet") + ")")
             return online.finalize()
         time.sleep(poll)
+
+
+class OnlineVFS:
+    """Live voice-femininity monitoring of a growing recording.
+
+    Framework extension (the reference's VFS is strictly file-at-a-time,
+    vbx_segmenter.py:147-202).  Feed 16 kHz mono blocks as they arrive;
+    ``current()`` returns a PROVISIONAL ``(score | None, speech_dur, n)``
+    using the provisional online VAD and x-vectors embedded so far;
+    ``finalize()`` runs the canonical scoring on the full signal — exactly
+    equal to ``vfs.score_signal(<everything fed>)``.
+
+    The expensive ResNet work is incremental: a window is embedded ONCE,
+    as soon as its features are final — i.e. its 144 frames plus the VBx
+    floating-CMVN right context (149 frames) lie behind the feature
+    frontier (minus a small guard for the end-dependent mirror tail) —
+    and cached for every later provisional score.  VBx features are
+    recomputed on the grown prefix per update (cheap next to the ResNet);
+    the raw PCM is retained in full — the VBx mirror tail and the exact
+    finalize fundamentally need the signal's true end.
+    """
+
+    CMVN_RC = 149      # VBx floating-CMVN right context (features_vbx.py)
+    TAIL_GUARD = 4     # frontier frames the mirror tail may still change
+
+    def __init__(self, vfs, basename="<live>"):
+        self.vfs = vfs
+        self.basename = basename
+        self.vad_online = OnlineSegmenter(vfs.vad)
+        self._parts = []
+        self._total = 0
+        self._dtype = None
+        self._emb = {}          # window start frame -> xvector*10
+        self._fea = None        # device features of the buffered prefix
+        self._fea_len = -1
+        self._finalized = None
+
+    def feed(self, pcm):
+        """Append a block of 16 kHz mono samples (int16 or float)."""
+        if self._finalized is not None:
+            raise RuntimeError("feed() after finalize()")
+        pcm = np.asarray(pcm)
+        kind = np.int16 if pcm.dtype == np.int16 else np.float32
+        if self._dtype is None:
+            self._dtype = kind
+        elif kind != self._dtype:
+            raise TypeError("feed dtype changed mid-stream")
+        self._parts.append(pcm.astype(self._dtype, copy=False))
+        self._total += len(pcm)
+        self.vad_online.feed(pcm)
+        return self
+
+    def _signal(self):
+        return (np.concatenate(self._parts) if self._parts
+                else np.zeros(0, self._dtype or np.float32))
+
+    def current(self):
+        """Provisional (score | None, speech_duration_s, n_xvectors)."""
+        if self._finalized is not None:
+            return self._finalized
+        from .vfs import (STEP, WINLEN, get_femininity_score)
+
+        import jax.numpy as jnp
+
+        timeline = SpeechTimeline.from_vad(self.vad_online.current())
+        speech_dur = timeline.total_duration()
+        if not speech_dur:
+            return None, speech_dur, 0
+        sig = self._signal()
+        if self._fea is None or len(sig) != self._fea_len:
+            signal64 = (sig.astype(np.float64) / 32768.0
+                        if self._dtype == np.int16
+                        else np.asarray(sig, np.float64))
+            self._fea = self.vfs.features.features(signal64)
+            self._fea_len = len(sig)
+        fea = self._fea
+        frames = int(fea.shape[0])
+        horizon = frames - self.CMVN_RC - self.TAIL_GUARD
+        starts = [s for s in range(0, frames - WINLEN, STEP)
+                  if s + WINLEN <= horizon]
+        segs = {s: (round(s / 100.0, 3), round(s / 100.0 + WINLEN / 100.0, 3))
+                for s in starts}
+        in_speech = [s for s in starts
+                     if timeline.contains_point(
+                         (segs[s][0] + segs[s][1]) / 2)]
+        new = [s for s in in_speech if s not in self._emb]
+        if new:
+            embs = self.vfs.xvector_model.embeddings_from_features(
+                jnp.asarray(fea, jnp.float32), np.asarray(new, np.int32))
+            for s, e in zip(new, embs):
+                if not np.isnan(e).any():
+                    self._emb[s] = e * 10
+        xv = [(f"{self.basename}_{s:08}-{s + WINLEN:08}", segs[s],
+               self._emb[s]) for s in starts if s in self._emb]
+        kept = self.vfs.apply_vad(xv, timeline)
+        if not kept:
+            return None, speech_dur, 0
+        x = np.asarray([e for _, _, e in kept])
+        pred = np.atleast_1d(np.asarray(
+            self.vfs.gender_detection_mlp_model(jnp.asarray(x))).squeeze())
+        g_preds = [(seg[0], seg[1], float(p))
+                   for (_, seg, _), p in zip(kept, pred)]
+        return get_femininity_score(g_preds), speech_dur, len(g_preds)
+
+    def finalize(self):
+        """Canonical scoring of the full signal — exactly equal to
+        ``vfs.score_signal(<everything fed>)``.  Idempotent; an empty
+        stream returns (None, 0.0, 0)."""
+        if self._finalized is None:
+            if self._total == 0:
+                self._finalized = (None, 0.0, 0)
+            else:
+                self._finalized = self.vfs.score_signal(self._signal(),
+                                                        self.basename)
+        return self._finalized

@@ -333,7 +333,6 @@ class VoiceFemininityScoring:
         # reference behavior since float32 'auto' would round the float64
         # feature input
         sig = media2sig16kmono(fpath, ffmpeg=self.ffmpeg, dtype="auto")
-        pcm = None
         # non-PCM16 source: reference two-decode behavior — float64 for the
         # features (the float32 'auto' signal would round the feature
         # input), the 'auto' signal for the VAD
@@ -345,17 +344,29 @@ class VoiceFemininityScoring:
             # callable can be injected in its place — keep that working
             # (the shared-decode fast paths below need a Segmenter)
             vad_seg = self.vad(fpath)
-        elif sig.dtype == np.int16:
+            return self._finish_prepare(sig, signal, None, basename, vad_seg)
+        return self._prepare_signal(sig, basename, signal64=signal,
+                                    medianame=fpath)
+
+    def _prepare_signal(self, sig, basename="<signal>", signal64=None,
+                        medianame="<signal>"):
+        """VAD + VBx features for an already-decoded 16 kHz mono signal —
+        the signal-based counterpart of `_prepare` (requires the standard
+        Segmenter VAD)."""
+        pcm = None
+        if sig.dtype == np.int16:
             # the VAD upload doubles as the VBx feature input: ask the
             # segmenter to keep its device-resident PCM buffers.  The
             # float64 view is only materialized if the device-PCM fast
             # path is unavailable (it costs 8 bytes/sample host-side).
-            vad_seg, pcm = self.vad.segment_signal(sig, 0, fpath,
+            vad_seg, pcm = self.vad.segment_signal(sig, 0, medianame,
                                                    return_pcm=True)
         else:
-            # the VAD consumes the already-decoded 'auto' signal instead
-            # of decoding the file a third time
-            vad_seg = self.vad.segment_signal(sig, 0, fpath)
+            # the VAD consumes the already-decoded signal
+            vad_seg = self.vad.segment_signal(sig, 0, medianame)
+        return self._finish_prepare(sig, signal64, pcm, basename, vad_seg)
+
+    def _finish_prepare(self, sig, signal, pcm, basename, vad_seg):
         n_samples = len(sig)
         duration = n_samples / SR
         timeline = SpeechTimeline.from_vad(vad_seg)
@@ -373,6 +384,25 @@ class VoiceFemininityScoring:
                     signal = sig.astype(np.float64) / 32768.0
                 fea = self.features.features(signal)
         return basename, fea, timeline, duration, speech_duration
+
+    def score_signal(self, sig, basename="<signal>"):
+        """Score an already-decoded 16 kHz mono signal (int16, or float in
+        [-1, 1]) -> (score | None, speech_duration_s, n_retained_xvectors).
+
+        Framework extension, the VFS counterpart of
+        `Segmenter.segment_signal`: callers that already hold the PCM (the
+        OnlineVFS live monitor, pipelines with their own decode) skip the
+        file round trip; identical output to `__call__` on a file whose
+        decode yields ``sig``.  Float inputs are treated as the feature
+        signal directly (the reference feeds float64 to its features)."""
+        if not hasattr(self.vad, "segment_signal"):
+            raise TypeError(
+                "score_signal needs the standard Segmenter VAD (an injected "
+                "path-based VAD callable cannot consume a signal)")
+        signal64 = None if sig.dtype == np.int16 else np.asarray(
+            sig, np.float64)
+        return self._score_prepared(
+            self._prepare_signal(sig, basename, signal64=signal64))
 
     def _score_prepared(self, prepared):
         """ResNet + gender MLP on prepared features

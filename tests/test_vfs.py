@@ -336,3 +336,86 @@ def test_timeline_overlapping_and_touching_intervals():
     assert not touching.contains_point(2.0)    # strict interior only
     assert touching.contains_point(1.5) and touching.contains_point(2.5)
     assert touching.overlap_duration(0.0, 4.0) == pytest.approx(2.0)
+
+
+def test_score_signal_equals_call(vfs, media_dir):
+    """score_signal on the decoded signal == __call__ on the file (the
+    VFS counterpart of Segmenter.segment_signal)."""
+    from inaspeechsegmenter_tpu.audio import read_wav
+
+    sig, sr = read_wav(f"{media_dir}/lamartine.wav", dtype="int16")
+    assert sr == 16000
+    want = vfs(f"{media_dir}/lamartine.wav")
+    got = vfs.score_signal(sig, "lamartine")
+    assert got == want
+
+
+def test_score_signal_rejects_injected_vad(vfs):
+    import pytest
+
+    saved = vfs.vad
+    try:
+        vfs.vad = lambda fpath: [("speech", 0.0, 1.0)]
+        with pytest.raises(TypeError, match="score_signal"):
+            vfs.score_signal(np.zeros(16000 * 2, np.int16))
+    finally:
+        vfs.vad = saved
+
+
+def test_online_vfs_finalize_equals_score_signal(vfs, media_dir):
+    """OnlineVFS fed in pieces finalizes to exactly the canonical
+    score_signal result; provisional current() is well-typed."""
+    from inaspeechsegmenter_tpu.audio import read_wav
+    from inaspeechsegmenter_tpu.online import OnlineVFS
+
+    sig, _ = read_wav(f"{media_dir}/lamartine.wav", dtype="int16")
+    online = OnlineVFS(vfs, basename="lamartine")
+    provs = []
+    for pos in range(0, len(sig), 16000 * 3):
+        online.feed(sig[pos: pos + 16000 * 3])
+        provs.append(online.current())
+    for score, dur, n in provs:
+        assert (score is None) or 0.0 <= score <= 1.0
+        assert dur >= 0 and n >= 0
+    got = online.finalize()
+    assert got == vfs.score_signal(sig, "lamartine")
+    assert online.finalize() == got          # idempotent
+    with pytest.raises(RuntimeError):
+        online.feed(np.zeros(100, np.int16))
+
+
+def test_online_vfs_empty_stream(vfs):
+    from inaspeechsegmenter_tpu.online import OnlineVFS
+
+    online = OnlineVFS(vfs)
+    assert online.current() == (None, 0.0, 0) or online.current()[0] is None
+    assert online.finalize() == (None, 0.0, 0)
+
+
+def test_online_vfs_embedding_cache_incremental(vfs, media_dir):
+    """Windows are embedded once: a later current() with more audio only
+    embeds NEW windows (the ResNet work is incremental)."""
+    from inaspeechsegmenter_tpu.audio import read_wav
+    from inaspeechsegmenter_tpu.online import OnlineVFS
+
+    sig, _ = read_wav(f"{media_dir}/lamartine.wav", dtype="int16")
+    online = OnlineVFS(vfs, basename="lam")
+    online.feed(sig[: len(sig) // 2])
+    online.current()
+    cached = set(online._emb)
+    calls = []
+    real = vfs.xvector_model.embeddings_from_features
+
+    def spy(fea, starts):
+        calls.append(np.asarray(starts))
+        return real(fea, starts)
+
+    vfs.xvector_model.embeddings_from_features = spy
+    try:
+        online.feed(sig[len(sig) // 2:])
+        online.current()
+    finally:
+        vfs.xvector_model.embeddings_from_features = real
+    for starts in calls:
+        assert not (set(starts.tolist()) & cached), \
+            "re-embedded an already-cached window"
