@@ -371,15 +371,18 @@ class OnlineVFS:
 
     The expensive ResNet work is incremental: a window is embedded ONCE,
     as soon as its features are final — i.e. its 144 frames plus the VBx
-    floating-CMVN right context (149 frames) lie behind the feature
-    frontier (minus a small guard for the end-dependent mirror tail) —
-    and cached for every later provisional score.  VBx features are
-    recomputed on the grown prefix per update (cheap next to the ResNet);
-    the raw PCM is retained in full — the VBx mirror tail and the exact
-    finalize fundamentally need the signal's true end.
+    floating-CMVN right context lie behind the feature frontier (minus a
+    small guard for the end-dependent mirror tail, and only once enough
+    frames exist to saturate the CMVN window for the stream head) — and
+    cached for every later provisional score.  VBx features are
+    recomputed on the grown prefix, but only when at least
+    ``ISS_ONLINE_VFS_BATCH`` (default 32) new windows are embeddable, so
+    the cumulative feature cost stays a small multiple of one-shot
+    (~T/15s full-prefix passes) rather than one per poll.  The raw PCM is
+    retained in full — the VBx mirror tail and the exact finalize
+    fundamentally need the signal's true end.
     """
 
-    CMVN_RC = 149      # VBx floating-CMVN right context (features_vbx.py)
     TAIL_GUARD = 4     # frontier frames the mirror tail may still change
 
     def __init__(self, vfs, basename="<live>"):
@@ -389,13 +392,18 @@ class OnlineVFS:
         self._parts = []
         self._total = 0
         self._dtype = None
-        self._emb = {}          # window start frame -> xvector*10
+        self._emb = {}          # window start frame -> xvector*10 | None
         self._fea = None        # device features of the buffered prefix
         self._fea_len = -1
         self._finalized = None
+        self._min_new = max(1, int(os.environ.get("ISS_ONLINE_VFS_BATCH",
+                                                  "32")))
 
     def feed(self, pcm):
-        """Append a block of 16 kHz mono samples (int16 or float)."""
+        """Append a block of 16 kHz mono samples (int16 or float).  The
+        block is COPIED: live-capture callbacks routinely reuse their
+        buffer (e.g. sounddevice's ``indata``), and an aliased store would
+        silently turn the whole stream into copies of the last block."""
         if self._finalized is not None:
             raise RuntimeError("feed() after finalize()")
         pcm = np.asarray(pcm)
@@ -404,7 +412,7 @@ class OnlineVFS:
             self._dtype = kind
         elif kind != self._dtype:
             raise TypeError("feed dtype changed mid-stream")
-        self._parts.append(pcm.astype(self._dtype, copy=False))
+        self._parts.append(np.array(pcm, dtype=self._dtype, copy=True))
         self._total += len(pcm)
         self.vad_online.feed(pcm)
         return self
@@ -413,11 +421,32 @@ class OnlineVFS:
         return (np.concatenate(self._parts) if self._parts
                 else np.zeros(0, self._dtype or np.float32))
 
+    def _frames_now(self):
+        # VBx frame count of the mirror-padded signal (+120 front,
+        # +200 back, 400-sample windows at 160-hop)
+        n = self._total + 320
+        return (n - 400) // 160 + 1 if n >= 400 else 0
+
+    def _final_starts(self, frames):
+        """Window starts whose features are FINAL at `frames`: the window
+        plus the CMVN right context is behind the frontier (minus the
+        mirror-tail guard), and enough frames exist that the stream
+        head's CMVN window is saturated (early frames use up to lc+rc
+        context, not just rc)."""
+        from .vfs import STEP, WINLEN
+
+        fe = self.vfs.features
+        if frames < fe.lc + fe.rc + 1 + self.TAIL_GUARD:
+            return []
+        horizon = frames - fe.rc - self.TAIL_GUARD
+        return [s for s in range(0, frames - WINLEN, STEP)
+                if s + WINLEN <= horizon]
+
     def current(self):
         """Provisional (score | None, speech_duration_s, n_xvectors)."""
         if self._finalized is not None:
             return self._finalized
-        from .vfs import (STEP, WINLEN, get_femininity_score)
+        from .vfs import WINLEN
 
         import jax.numpy as jnp
 
@@ -425,41 +454,37 @@ class OnlineVFS:
         speech_dur = timeline.total_duration()
         if not speech_dur:
             return None, speech_dur, 0
-        sig = self._signal()
-        if self._fea is None or len(sig) != self._fea_len:
-            signal64 = (sig.astype(np.float64) / 32768.0
-                        if self._dtype == np.int16
-                        else np.asarray(sig, np.float64))
-            self._fea = self.vfs.features.features(signal64)
-            self._fea_len = len(sig)
-        fea = self._fea
-        frames = int(fea.shape[0])
-        horizon = frames - self.CMVN_RC - self.TAIL_GUARD
-        starts = [s for s in range(0, frames - WINLEN, STEP)
-                  if s + WINLEN <= horizon]
-        segs = {s: (round(s / 100.0, 3), round(s / 100.0 + WINLEN / 100.0, 3))
-                for s in starts}
+
+        def seg_of(s):
+            return (round(s / 100.0, 3), round(s / 100.0 + WINLEN / 100.0, 3))
+
+        starts = self._final_starts(self._frames_now())
         in_speech = [s for s in starts
                      if timeline.contains_point(
-                         (segs[s][0] + segs[s][1]) / 2)]
+                         (seg_of(s)[0] + seg_of(s)[1]) / 2)]
         new = [s for s in in_speech if s not in self._emb]
-        if new:
+        # batch the expensive part: recompute prefix features + embed only
+        # when enough NEW windows accumulated (or none were ever embedded)
+        if new and (len(new) >= self._min_new or not self._emb):
+            sig = self._signal()
+            if self._fea is None or len(sig) != self._fea_len:
+                signal64 = (sig.astype(np.float64) / 32768.0
+                            if self._dtype == np.int16
+                            else np.asarray(sig, np.float64))
+                self._fea = self.vfs.features.features(signal64)
+                self._fea_len = len(sig)
             embs = self.vfs.xvector_model.embeddings_from_features(
-                jnp.asarray(fea, jnp.float32), np.asarray(new, np.int32))
+                jnp.asarray(self._fea, jnp.float32),
+                np.asarray(new, np.int32))
             for s, e in zip(new, embs):
-                if not np.isnan(e).any():
-                    self._emb[s] = e * 10
-        xv = [(f"{self.basename}_{s:08}-{s + WINLEN:08}", segs[s],
-               self._emb[s]) for s in starts if s in self._emb]
-        kept = self.vfs.apply_vad(xv, timeline)
-        if not kept:
-            return None, speech_dur, 0
-        x = np.asarray([e for _, _, e in kept])
-        pred = np.atleast_1d(np.asarray(
-            self.vfs.gender_detection_mlp_model(jnp.asarray(x))).squeeze())
-        g_preds = [(seg[0], seg[1], float(p))
-                   for (_, seg, _), p in zip(kept, pred)]
-        return get_femininity_score(g_preds), speech_dur, len(g_preds)
+                # NaN embeddings recorded as None: never retained, never
+                # re-embedded (the canonical extractor logs and drops
+                # them the same way, vfs.py)
+                self._emb[s] = None if np.isnan(e).any() else e * 10
+        xv = [(f"{self.basename}_{s:08}-{s + WINLEN:08}", seg_of(s),
+               self._emb[s]) for s in starts
+              if self._emb.get(s) is not None]
+        return self.vfs._score_xvectors(xv, timeline, speech_dur)
 
     def finalize(self):
         """Canonical scoring of the full signal — exactly equal to

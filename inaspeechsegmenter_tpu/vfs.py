@@ -353,6 +353,11 @@ class VoiceFemininityScoring:
         """VAD + VBx features for an already-decoded 16 kHz mono signal —
         the signal-based counterpart of `_prepare` (requires the standard
         Segmenter VAD)."""
+        if signal64 is None and sig.dtype != np.int16:
+            # a float signal IS the feature signal; _finish_prepare's
+            # fallback divides by 2^15 (the int16 scaling) and would turn
+            # an already [-1, 1] float input into near-silence
+            signal64 = np.asarray(sig, np.float64)
         pcm = None
         if sig.dtype == np.int16:
             # the VAD upload doubles as the VBx feature input: ask the
@@ -399,10 +404,7 @@ class VoiceFemininityScoring:
             raise TypeError(
                 "score_signal needs the standard Segmenter VAD (an injected "
                 "path-based VAD callable cannot consume a signal)")
-        signal64 = None if sig.dtype == np.int16 else np.asarray(
-            sig, np.float64)
-        return self._score_prepared(
-            self._prepare_signal(sig, basename, signal64=signal64))
+        return self._score_prepared(self._prepare_signal(sig, basename))
 
     def _score_prepared(self, prepared):
         """ResNet + gender MLP on prepared features
@@ -420,6 +422,13 @@ class VoiceFemininityScoring:
             # extractor is called with exactly (basename, features,
             # duration) — keep injected reference-style extractors working
             x_vectors = self.xvector_model(basename, fea, duration)
+        return self._score_xvectors(x_vectors, timeline, speech_duration)
+
+    def _score_xvectors(self, x_vectors, timeline, speech_duration):
+        """apply_vad -> gender MLP -> femininity score: the scoring tail
+        shared by `_score_prepared` and `OnlineVFS.current()` (one owner,
+        so score-rule changes cannot silently diverge between the offline
+        and live paths)."""
         x_vectors = self.apply_vad(x_vectors, timeline)
         if not x_vectors:
             # a speech sliver can leave no window midpoint in speech (then

@@ -392,12 +392,13 @@ def test_online_vfs_empty_stream(vfs):
     assert online.finalize() == (None, 0.0, 0)
 
 
-def test_online_vfs_embedding_cache_incremental(vfs, media_dir):
+def test_online_vfs_embedding_cache_incremental(vfs, media_dir, monkeypatch):
     """Windows are embedded once: a later current() with more audio only
     embeds NEW windows (the ResNet work is incremental)."""
     from inaspeechsegmenter_tpu.audio import read_wav
     from inaspeechsegmenter_tpu.online import OnlineVFS
 
+    monkeypatch.setenv("ISS_ONLINE_VFS_BATCH", "1")   # embed eagerly
     sig, _ = read_wav(f"{media_dir}/lamartine.wav", dtype="int16")
     online = OnlineVFS(vfs, basename="lam")
     online.feed(sig[: len(sig) // 2])
@@ -419,3 +420,35 @@ def test_online_vfs_embedding_cache_incremental(vfs, media_dir):
     for starts in calls:
         assert not (set(starts.tolist()) & cached), \
             "re-embedded an already-cached window"
+
+
+def test_online_vfs_feed_copies_buffer(vfs):
+    """feed() must COPY: capture callbacks reuse their buffer (e.g.
+    sounddevice's indata) — an aliased store would silently turn the
+    stream into copies of the last block."""
+    from inaspeechsegmenter_tpu.online import OnlineVFS
+
+    online = OnlineVFS(vfs)
+    buf = np.zeros(1600, np.int16)
+    buf[:] = 100
+    online.feed(buf)
+    buf[:] = -100                       # caller reuses the buffer
+    online.feed(buf)
+    sig = online._signal()
+    assert (sig[:1600] == 100).all() and (sig[1600:] == -100).all()
+
+
+def test_online_vfs_final_starts_head_guard(vfs):
+    """No window may be cache-embedded before the stream head's CMVN
+    window saturates (early frames use up to lc+rc context; the mirror
+    tail moves the last frames as the signal grows)."""
+    from inaspeechsegmenter_tpu.online import OnlineVFS
+
+    online = OnlineVFS(vfs)
+    fe = vfs.features
+    too_few = fe.lc + fe.rc + online.TAIL_GUARD      # one frame short
+    assert online._final_starts(too_few) == []
+    enough = fe.lc + fe.rc + 1 + online.TAIL_GUARD
+    starts = online._final_starts(enough + 144)
+    assert starts and all(
+        s + 144 <= enough + 144 - fe.rc - online.TAIL_GUARD for s in starts)
