@@ -57,12 +57,21 @@ def main():
     # a parseable record if it never does.  This must run BEFORE
     # enable_compilation_cache: the cache scopes per backend, which
     # initializes the backend and would itself hang on a dead link.
+    state = os.path.expanduser(
+        "~/.cache/inaspeechsegmenter_tpu/last_bench.json")
     if not wait_for_device(float(os.environ.get("ISS_BENCH_LINK_WAIT",
                                                 "1800"))):
-        print(json.dumps({
-            "metric": "segmentation_realtime_factor_1chip",
-            "value": 0, "unit": "x_realtime", "vs_baseline": 0,
-            "error": "device link stalled; no measurement possible"}))
+        rec = {"metric": "segmentation_realtime_factor_1chip",
+               "value": 0, "unit": "x_realtime", "vs_baseline": 0,
+               "error": "device link stalled; no measurement possible"}
+        try:
+            # context for the reader: clearly-labeled previous successful
+            # measurement on this host (NOT a fresh number)
+            with open(state) as fh:
+                rec["last_successful_run"] = json.load(fh)
+        except OSError:
+            pass
+        print(json.dumps(rec))
         return
     enable_compilation_cache()
     # deterministic full-size synthetic stand-ins: the bench must measure
@@ -109,12 +118,22 @@ def main():
     best = min(run(f"r{k}") for k in range(5))
 
     rtf = n_files * per_file / best
-    print(json.dumps({
+    rec = {
         "metric": "segmentation_realtime_factor_1chip",
         "value": round(rtf, 1),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 500.0, 3),
-    }))
+    }
+    print(json.dumps(rec))
+    try:
+        import time
+
+        os.makedirs(os.path.dirname(state), exist_ok=True)
+        with open(state, "w") as fh:
+            json.dump(dict(rec, measured_at=time.strftime(
+                "%Y-%m-%d %H:%M UTC", time.gmtime())), fh)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
