@@ -35,12 +35,19 @@ def main():
 
     # bounded wait for the tunneled link (see bench.py): the cache setup
     # below initializes the backend and would hang on a dead link
+    state = os.path.expanduser(
+        "~/.cache/inaspeechsegmenter_tpu/last_bench_vfs.json")
     if not wait_for_device(float(os.environ.get("ISS_BENCH_LINK_WAIT",
                                                 "1800"))):
-        print(json.dumps({
-            "metric": "vfs_realtime_factor_1chip", "value": 0,
-            "unit": "x_realtime", "vs_baseline": 0,
-            "error": "device link stalled; no measurement possible"}))
+        rec = {"metric": "vfs_realtime_factor_1chip", "value": 0,
+               "unit": "x_realtime", "vs_baseline": 0,
+               "error": "device link stalled; no measurement possible"}
+        try:
+            with open(state) as fh:
+                rec["last_successful_run"] = json.load(fh)
+        except OSError:
+            pass
+        print(json.dumps(rec))
         return
     enable_compilation_cache()
     from inaspeechsegmenter_tpu.models.synthetic import ensure_synthetic_env
@@ -97,14 +104,22 @@ def main():
         assert abs(r_on[0] - r_off[0]) <= 1.0 / max(r_on[2], 1), (r_on, r_off)
     best_on, best_off = min(t_on), min(t_off)
     frac_speech = r_on[1] / seconds
-    print(json.dumps({
+    rec = {
         "metric": "vfs_realtime_factor_1chip",
         "value": round(seconds / best_on, 1),
         "unit": "x_realtime",
         "vs_baseline": round(seconds / best_on / 500.0, 3),
         "speech_fraction": round(frac_speech, 3),
         "n_xvectors": r_on[2],
-    }))
+    }
+    print(json.dumps(rec))
+    try:
+        os.makedirs(os.path.dirname(state), exist_ok=True)
+        with open(state, "w") as fh:
+            json.dump(dict(rec, measured_at=time.strftime(
+                "%Y-%m-%d %H:%M UTC", time.gmtime())), fh)
+    except OSError:
+        pass
     print(json.dumps({
         "metric": "vfs_speech_only_speedup",
         "value": round(best_off / best_on, 2),
