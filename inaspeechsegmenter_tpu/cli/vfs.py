@@ -43,6 +43,13 @@ def build_parser():
                              '(idempotent corpus reruns).')
     parser.add_argument('--nbtry', type=int, default=1,
                         help='Attempts per file before reporting an error.')
+    parser.add_argument('--follow', action='store_true',
+                        help='Tail ONE growing PCM16 mono 16 kHz WAV file '
+                             '(a recording in progress): print provisional '
+                             'scores, write the csv when it stops growing.')
+    parser.add_argument('--follow_idle', type=float, default=10.0,
+                        help='Seconds without file growth before --follow '
+                             'finalizes.')
     return parser
 
 
@@ -55,11 +62,18 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
     args.ffmpeg_binary = resolve_ffmpeg(args.ffmpeg_binary)
-    input_files = expand_inputs(args.input, allow_urls=True)
+    if args.follow:
+        # the followed recording may not exist YET (a recorder about to
+        # start writing) — skip the exists-assert glob expansion
+        assert len(args.input) == 1, '--follow takes exactly one input file'
+        input_files = list(args.input)
+    else:
+        input_files = expand_inputs(args.input, allow_urls=True)
     odir = check_outdir(args.output_directory)
     bootstrap_runtime()
 
-    from inaspeechsegmenter_tpu.vfs import VoiceFemininityScoring
+    from inaspeechsegmenter_tpu.vfs import (VoiceFemininityScoring,
+                                            score_to_csv)
 
     vfs = VoiceFemininityScoring(gd_model_criteria=args.gd_model_criteria,
                                  ffmpeg=args.ffmpeg_binary)
@@ -67,8 +81,24 @@ def main(argv=None):
     output_files = output_paths(input_files, odir, 'csv')
     with warnings.catch_warnings():
         warnings.simplefilter('ignore')
-        vfs.batch_score(input_files, output_files, verbose=True,
-                        skipifexist=args.skipifexist, nbtry=args.nbtry)
+        if args.follow:
+            from inaspeechsegmenter_tpu.online import follow_wav_vfs
+
+            def report(o):
+                score, dur, n = o.current()
+                print(f'[follow] {o.vad_online.seconds_fed:.0f}s fed, '
+                      f'provisional score='
+                      f'{"-" if score is None else f"{score:.3f}"} '
+                      f'(speech {dur:.1f}s, {n} windows)', flush=True)
+
+            result = follow_wav_vfs(input_files[0], vfs,
+                                    idle_timeout=args.follow_idle,
+                                    on_update=report)
+            score_to_csv(result, output_files[0])
+            print(f'[follow] finalized -> {output_files[0]}', flush=True)
+        else:
+            vfs.batch_score(input_files, output_files, verbose=True,
+                            skipifexist=args.skipifexist, nbtry=args.nbtry)
 
 
 if __name__ == '__main__':

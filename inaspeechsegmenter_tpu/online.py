@@ -318,15 +318,33 @@ def follow_wav(path, segmenter, idle_timeout=10.0, poll=0.5, start_sec=0,
     slow muxer prologue cannot trip the idle timer.  If no audio ever
     arrives, raises TimeoutError instead of finalizing an empty stream.
     ``on_update(online)`` is called after each feed batch."""
+    return _follow_stream(path, OnlineSegmenter(segmenter, start_sec),
+                          idle_timeout, poll, on_update)
+
+
+def follow_wav_vfs(path, vfs, idle_timeout=10.0, poll=0.5, on_update=None):
+    """Tail a GROWING PCM16 mono 16 kHz WAV and return the final
+    femininity scoring once it stops growing — the `OnlineVFS`
+    counterpart of `follow_wav`; the result equals
+    ``vfs.score_signal(<the whole file's samples>)``."""
+    import os as _os
+
+    basename = _os.path.splitext(_os.path.basename(path))[0]
+    return _follow_stream(path, OnlineVFS(vfs, basename=basename),
+                          idle_timeout, poll, on_update)
+
+
+def _follow_stream(path, online, idle_timeout, poll, on_update):
+    """Shared tail loop driving any online consumer (feed/finalize)."""
     import time
 
-    online = OnlineSegmenter(segmenter, start_sec=start_sec)
     data_off = None
     pos = 0
     last_size = -1
     last_activity = time.time()
     # one upload-group slice of int16 bytes per read
-    max_read = ((online._group * CHUNK + 2) * HOP) * 2
+    group = getattr(online, "_group", 3)
+    max_read = ((group * CHUNK + 2) * HOP) * 2
     while True:
         size = os.path.getsize(path) if os.path.exists(path) else 0
         if size != last_size:

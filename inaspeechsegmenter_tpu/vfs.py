@@ -56,6 +56,17 @@ def get_femininity_score(g_preds):
     return sum(1 for _, _, p in g_preds if p >= 0.5) / len(g_preds)
 
 
+def score_to_csv(result, dst):
+    """Write one (score, speech_duration, nb_vectors) result as the VFS
+    csv row (shared by batch_score and the CLI --follow path)."""
+    score, speech_dur, n_vec = result
+    with open(dst, "w") as fh:
+        fh.write("score\tspeech_duration\tnb_vectors\n")
+        fh.write("%s\t%s\t%d\n" % (
+            "" if score is None else repr(float(score)),
+            repr(float(speech_dur)), n_vec))
+
+
 def _accepts_timeline(extractor):
     """True if the x-vector extractor takes a ``timeline`` kwarg (our
     speech-only fast path).  Reference-style extractors are called with
@@ -491,12 +502,7 @@ class VoiceFemininityScoring:
                 nbtry=nbtry, trydelay=trydelay)
             if result is None:
                 return (dst, 2, "error: " + str(err))
-            score, speech_dur, n_vec = result
-            with open(dst, "w") as fh:
-                fh.write("score\tspeech_duration\tnb_vectors\n")
-                fh.write("%s\t%s\t%d\n" % (
-                    "" if score is None else repr(float(score)),
-                    repr(float(speech_dur)), n_vec))
+            score_to_csv(result, dst)
             return (dst, 0, "ok " + str(time.time() - b))
 
         # Shared depth-N prefetch driver (utils/prefetch.py): decode+VAD+

@@ -452,3 +452,77 @@ def test_online_vfs_final_starts_head_guard(vfs):
     starts = online._final_starts(enough + 144)
     assert starts and all(
         s + 144 <= enough + 144 - fe.rc - online.TAIL_GUARD for s in starts)
+
+
+def test_follow_wav_vfs_equals_score_signal(vfs, tmp_path):
+    """follow_wav_vfs tails a growing recording and finalizes to exactly
+    score_signal on the full samples."""
+    import struct
+    import threading
+    import time
+
+    from inaspeechsegmenter_tpu.online import follow_wav_vfs
+
+    rng = np.random.default_rng(21)
+    sig = (rng.standard_normal(16000 * 12) * 2000).astype(np.int16)
+    p = str(tmp_path / "grow.wav")
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+
+    def writer():
+        with open(p, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", 0xFFFFFFFF))
+            for pos in range(0, len(sig), 16000 * 4):
+                time.sleep(0.15)
+                f.write(sig[pos: pos + 16000 * 4].astype("<i2").tobytes())
+                f.flush()
+
+    th = threading.Thread(target=writer, daemon=True)
+    th.start()
+    got = follow_wav_vfs(p, vfs, idle_timeout=2.0, poll=0.1)
+    th.join(timeout=10)
+    assert got == vfs.score_signal(sig, "grow")
+
+
+def test_cli_vfs_follow(vfs, synthetic_model_dir, tmp_path, capsys,
+                        monkeypatch):
+    """VFS CLI --follow drives follow_wav_vfs end to end, printing
+    provisional scores and writing the csv."""
+    import struct
+    import threading
+    import time
+
+    import inaspeechsegmenter_tpu.vfs as vfs_mod
+    from inaspeechsegmenter_tpu.cli.vfs import main
+
+    # route the CLI's ctor to the tiny-net fixture instance (the real
+    # ResNet101 on CPU takes minutes)
+    monkeypatch.setattr(vfs_mod, "VoiceFemininityScoring",
+                        lambda **kw: vfs)
+    rng = np.random.default_rng(22)
+    sig = (rng.standard_normal(16000 * 8) * 2000).astype(np.int16)
+    p = str(tmp_path / "live.wav")
+    out = tmp_path / "out"
+    out.mkdir()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+
+    def writer():
+        time.sleep(0.3)                      # file appears AFTER the CLI
+        with open(p, "wb") as f:
+            f.write(b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", 0xFFFFFFFF)
+                    + sig.astype("<i2").tobytes())
+
+    th = threading.Thread(target=writer, daemon=True)
+    th.start()
+    main(["-i", p, "-o", str(out), "-b", "none",
+          "--follow", "--follow_idle", "2"])
+    th.join(timeout=10)
+    assert "finalized" in capsys.readouterr().out
+    from inaspeechsegmenter_tpu.vfs import score_to_csv
+
+    want = tmp_path / "want.csv"
+    score_to_csv(vfs.score_signal(sig, "live"), str(want))
+    assert (out / "live.csv").read_text() == want.read_text()
