@@ -69,8 +69,8 @@ def main():
             # measurement on this host (NOT a fresh number)
             with open(state) as fh:
                 rec["last_successful_run"] = json.load(fh)
-        except OSError:
-            pass
+        except (OSError, ValueError):
+            pass   # missing or corrupt state must not break the record
         print(json.dumps(rec))
         return
     enable_compilation_cache()
@@ -129,9 +129,12 @@ def main():
         import time
 
         os.makedirs(os.path.dirname(state), exist_ok=True)
-        with open(state, "w") as fh:
+        # atomic: a run killed mid-write must not leave a truncated file
+        tmp_state = f"{state}.part{os.getpid()}"
+        with open(tmp_state, "w") as fh:
             json.dump(dict(rec, measured_at=time.strftime(
                 "%Y-%m-%d %H:%M UTC", time.gmtime())), fh)
+        os.replace(tmp_state, state)
     except OSError:
         pass
 

@@ -64,12 +64,14 @@ def main(argv=None):
                                                     output_paths,
                                                     resolve_ffmpeg)
 
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     args.ffmpeg_binary = resolve_ffmpeg(args.ffmpeg_binary)
     if args.follow:
+        if len(args.input) != 1:   # parser.error: assert strips under -O
+            parser.error('--follow takes exactly one input file')
         # the followed recording may not exist YET (a recorder about to
         # start writing) — skip the exists-assert glob expansion
-        assert len(args.input) == 1, '--follow takes exactly one input file'
         input_files = list(args.input)
     else:
         input_files = expand_inputs(args.input, allow_urls=True)

@@ -60,12 +60,19 @@ def main(argv=None):
                                                     output_paths,
                                                     resolve_ffmpeg)
 
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     args.ffmpeg_binary = resolve_ffmpeg(args.ffmpeg_binary)
     if args.follow:
+        # parser.error (not assert: stripped under python -O) — and the
+        # corpus flags are meaningless on a live tail
+        if len(args.input) != 1:
+            parser.error('--follow takes exactly one input file')
+        if args.skipifexist:
+            parser.error('--skipifexist does not combine with --follow '
+                         '(a live tail always writes its csv at finalize)')
         # the followed recording may not exist YET (a recorder about to
         # start writing) — skip the exists-assert glob expansion
-        assert len(args.input) == 1, '--follow takes exactly one input file'
         input_files = list(args.input)
     else:
         input_files = expand_inputs(args.input, allow_urls=True)
@@ -85,9 +92,16 @@ def main(argv=None):
             from inaspeechsegmenter_tpu.online import follow_wav_vfs
 
             def report(o):
+                fed = o.vad_online.seconds_fed
+                if o.vad_online.chunks_ready < 2:
+                    # current() on a sub-group prefix would re-run the
+                    # offline VAD over the whole buffer per tick (same
+                    # guard as the segmentation CLI's report)
+                    print(f'[follow] {fed:.0f}s fed (buffering first '
+                          'chunks)', flush=True)
+                    return
                 score, dur, n = o.current()
-                print(f'[follow] {o.vad_online.seconds_fed:.0f}s fed, '
-                      f'provisional score='
+                print(f'[follow] {fed:.0f}s fed, provisional score='
                       f'{"-" if score is None else f"{score:.3f}"} '
                       f'(speech {dur:.1f}s, {n} windows)', flush=True)
 

@@ -327,9 +327,7 @@ def follow_wav_vfs(path, vfs, idle_timeout=10.0, poll=0.5, on_update=None):
     femininity scoring once it stops growing — the `OnlineVFS`
     counterpart of `follow_wav`; the result equals
     ``vfs.score_signal(<the whole file's samples>)``."""
-    import os as _os
-
-    basename = _os.path.splitext(_os.path.basename(path))[0]
+    basename = os.path.splitext(os.path.basename(path))[0]
     return _follow_stream(path, OnlineVFS(vfs, basename=basename),
                           idle_timeout, poll, on_update)
 
@@ -416,6 +414,12 @@ class OnlineVFS:
         self._finalized = None
         self._min_new = max(1, int(os.environ.get("ISS_ONLINE_VFS_BATCH",
                                                   "32")))
+
+    @property
+    def _group(self):
+        # one owner of the upload-group size (follow_wav_vfs's bounded
+        # reads must track the VAD's actual grouping)
+        return self.vad_online._group
 
     def feed(self, pcm):
         """Append a block of 16 kHz mono samples (int16 or float).  The

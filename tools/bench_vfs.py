@@ -45,8 +45,8 @@ def main():
         try:
             with open(state) as fh:
                 rec["last_successful_run"] = json.load(fh)
-        except OSError:
-            pass
+        except (OSError, ValueError):
+            pass   # missing or corrupt state must not break the record
         print(json.dumps(rec))
         return
     enable_compilation_cache()
@@ -115,9 +115,11 @@ def main():
     print(json.dumps(rec))
     try:
         os.makedirs(os.path.dirname(state), exist_ok=True)
-        with open(state, "w") as fh:
+        tmp_state = f"{state}.part{os.getpid()}"
+        with open(tmp_state, "w") as fh:
             json.dump(dict(rec, measured_at=time.strftime(
                 "%Y-%m-%d %H:%M UTC", time.gmtime())), fh)
+        os.replace(tmp_state, state)
     except OSError:
         pass
     print(json.dumps({
