@@ -10,6 +10,14 @@ utilities whose observable numeric behavior is the contract (they feed
 golden-verified features), so each reproduces the reference math exactly,
 quirks included.  Parity is asserted against the reference module and the
 device frontend in tests/test_vbx_features.py.
+
+The math lineage of ``fbank_htk`` / ``cmvn_floating_kaldi`` / ``add_dither``
+is the BUT VBx feature code, carried here with its upstream attribution:
+
+    Copyright Brno University of Technology (burget@fit.vutbr.cz)
+    Licensed under the Apache License, Version 2.0 (the "License")
+    From VBHMM x-vectors Diarization (aka VBx)
+    https://github.com/BUTSpeechFIT/VBx/blob/master/VBx/features.py
 """
 
 from __future__ import annotations

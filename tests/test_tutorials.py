@@ -40,9 +40,14 @@ def test_notebook_valid_and_imports_resolve(path):
         src = "".join(cell["source"])
         if cell["cell_type"] != "code":
             continue
-        # shell escapes (`! pip install ...`) aren't python; drop those lines
-        py = "\n".join(l for l in src.splitlines()
-                       if not l.lstrip().startswith(("!", "%")))
+        # shell escapes (`! pip install ...`) aren't python; neutralize them
+        # in place (a `pass` at the same indentation) rather than dropping
+        # the line, so an escape inside an indented block doesn't empty the
+        # block and raise an unrelated IndentationError
+        py = "\n".join(
+            l if not l.lstrip().startswith(("!", "%"))
+            else l[:len(l) - len(l.lstrip())] + "pass"
+            for l in src.splitlines())
         tree = ast.parse(py)  # code cells must at least parse
         for node in ast.walk(tree):
             mods = []
