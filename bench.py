@@ -1,23 +1,36 @@
-"""Benchmark: real-time factor of the segmentation pipeline on 1 chip.
+"""Benchmark: real-time factors of BOTH production pipelines on 1 chip.
 
-Measures the production batch workload (the reference's own headline path,
-`batch_process`): one hour of synthetic 16 kHz broadcast-style audio split
-across several WAV files, decoded, feature-extracted, and segmented with the
-smn+gender engine and full-size CNN weights — host decode + upload of the
-next file overlapping device compute of the current one, exactly as in
-serving.
+Measures, in one process, on the same deterministic synthetic broadcast
+audio and full-size synthetic weights:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`value` is the real-time factor (audio seconds per wall second per chip);
-the reference publishes no throughput numbers (SURVEY.md §6), so
-`vs_baseline` is reported against the project north-star target of 500x
-real time per chip (BASELINE.json).
+* **Segmentation** — the reference's own headline path (`batch_process`):
+  one hour of 16 kHz audio split across several WAV files, decoded,
+  feature-extracted, and segmented with the smn+gender engine — host
+  decode + upload of the next file overlapping device compute of the
+  current one, exactly as in serving.
+* **Voice femininity scoring (VFS)** — the full
+  `VoiceFemininityScoring.__call__` (decode -> VAD -> VBx features ->
+  batched ResNet101 x-vectors -> MLP), the reference's "most costly part"
+  (reference vbx_segmenter.py:174-176); measurement shared with
+  tools/bench_vfs.py (`measure_vfs`).
+* **Online monitoring latency** — `OnlineSegmenter` fed at a 1 s cadence:
+  time to the first provisional label, per-feed feed()+current() latency,
+  and finalize cost (tools/bench_online.py has the full battery).
+
+Prints ONE JSON line.  The primary fields keep the historical shape
+{"metric", "value", "unit", "vs_baseline"} (segmentation RTF vs the 500x
+north star — the reference publishes no throughput numbers, SURVEY.md §6);
+the VFS factor, the bench mix's effective label fractions (real-weight
+runs will differ exactly as the speech fraction differs — the gender CNN
+and the x-vector extractor only run on speech), and the online latencies
+ride along as extra keys of the same record.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -49,6 +62,70 @@ def synth_audio(seconds, sr=16000, seed=0):
     return sig
 
 
+def synth_int16(seconds, seed):
+    """PCM16 like real broadcast sources (int16 halves the device upload
+    and converts to identical float32 on device)."""
+    return np.clip(np.rint(synth_audio(seconds, seed=seed) * 32768.0),
+                   -32768, 32767).astype(np.int16)
+
+
+def label_mix(csv_paths):
+    """Effective per-label duration fractions of the bench mix, read back
+    from the segmentation outputs.  Recorded so the first real-weight run
+    is comparable: gender-CNN and x-vector work scale with the speech
+    fraction, so a different mix means a different RTF."""
+    import pandas as pd
+
+    totals = {}
+    for p in csv_paths:
+        df = pd.read_csv(p, sep="\t")
+        for lab, start, stop in df.itertuples(index=False):
+            totals[lab] = totals.get(lab, 0.0) + (stop - start)
+    grand = sum(totals.values()) or 1.0
+    return {lab: round(dur / grand, 3) for lab, dur in sorted(totals.items())}
+
+
+def measure_online(seg, seconds=150):
+    """Compact online-latency section: OnlineSegmenter fed 1 s blocks.
+
+    Two identical passes — the first compiles every prefix-bucket program
+    (cached persistently), the second measures — so the latencies reflect
+    steady-state serving, not compile weather."""
+    from inaspeechsegmenter_tpu.online import OnlineSegmenter
+
+    sig = synth_int16(seconds, seed=7)
+    sr = 16000
+    out = None
+    for measured in (False, True):
+        online = OnlineSegmenter(seg)
+        lat, t_first = [], None
+        t0 = time.perf_counter()
+        for i in range(seconds):
+            t1 = time.perf_counter()
+            online.feed(sig[i * sr:(i + 1) * sr])
+            labels = online.current()
+            lat.append(time.perf_counter() - t1)
+            if t_first is None and labels:
+                t_first = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        final = online.finalize()
+        t_fin = time.perf_counter() - t1
+        if measured:
+            lat_ms = sorted(1000.0 * x for x in lat)
+            out = {
+                "first_provisional_s": round(t_first, 3),
+                "feed_plus_current_ms_p50": round(
+                    lat_ms[len(lat_ms) // 2], 1),
+                "feed_plus_current_ms_p95": round(
+                    lat_ms[int(0.95 * len(lat_ms))], 1),
+                "finalize_s": round(t_fin, 3),
+                "audio_seconds": seconds,
+                "feed_cadence_s": 1,
+                "n_final_segments": len(final),
+            }
+    return out
+
+
 def main():
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
     from inaspeechsegmenter_tpu.utils.env import wait_for_device
@@ -63,6 +140,7 @@ def main():
                                                 "1800"))):
         rec = {"metric": "segmentation_realtime_factor_1chip",
                "value": 0, "unit": "x_realtime", "vs_baseline": 0,
+               "vfs_realtime_factor_1chip": 0, "vfs_vs_baseline": 0,
                "error": "device link stalled; no measurement possible"}
         try:
             # context for the reader: clearly-labeled previous successful
@@ -92,16 +170,12 @@ def main():
     seg = Segmenter(vad_engine="smn", detect_gender=True, ffmpeg=None,
                     allow_download=False)
 
-    # PCM16 WAV files like real broadcast sources (int16 halves the device
-    # upload and converts to identical float32 on device)
     per_file = seconds // n_files
     tmp = tempfile.mkdtemp(prefix="iss_bench_")
     inputs = []
     for i in range(n_files):
-        sig = np.clip(np.rint(synth_audio(per_file, seed=i) * 32768.0),
-                      -32768, 32767).astype(np.int16)
         p = os.path.join(tmp, f"a{i}.wav")
-        write_wav(p, sig, 16000)
+        write_wav(p, synth_int16(per_file, seed=i), 16000)
         inputs.append(p)
 
     def run(tag):
@@ -109,13 +183,13 @@ def main():
                 for i in range(n_files)]
         dur, n_ok, _, _ = seg.batch_process(inputs, outs)
         assert n_ok == n_files
-        return dur
+        return dur, outs
 
-    run("warm")  # compile the bucket programs
+    _, warm_outs = run("warm")  # compile the bucket programs
     # best-of-5: the tunneled link's throughput fluctuates ~2x between
     # runs (docs/performance.md); best-of captures the pipeline's actual
     # capability rather than the link's worst stall
-    best = min(run(f"r{k}") for k in range(5))
+    best = min(run(f"r{k}")[0] for k in range(5))
 
     rtf = n_files * per_file / best
     rec = {
@@ -124,10 +198,35 @@ def main():
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 500.0, 3),
     }
+    try:
+        rec["label_mix"] = label_mix(warm_outs)
+    except Exception as e:  # diagnostics must not cost the metric
+        rec["label_mix_error"] = repr(e)
+
+    # VFS pipeline (same measurement as tools/bench_vfs.py, smaller
+    # best-of): its own try/except so a VFS-path failure still reports
+    # the segmentation number rather than an empty artifact
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from bench_vfs import measure_vfs
+
+        vfs_seconds = int(os.environ.get("ISS_BENCH_VFS_SECONDS", "1200"))
+        rec.update(measure_vfs(vfs_seconds, rounds=3))
+        rec["vfs_audio_seconds"] = vfs_seconds
+    except Exception as e:
+        rec["vfs_error"] = repr(e)
+
+    # online monitoring latency (skippable: ISS_BENCH_ONLINE=0)
+    if os.environ.get("ISS_BENCH_ONLINE", "1") != "0":
+        try:
+            rec["online"] = measure_online(seg, seconds=int(
+                os.environ.get("ISS_BENCH_ONLINE_SECONDS", "150")))
+        except Exception as e:
+            rec["online_error"] = repr(e)
+
     print(json.dumps(rec))
     try:
-        import time
-
         os.makedirs(os.path.dirname(state), exist_ok=True)
         # atomic: a run killed mid-write must not leave a truncated file
         tmp_state = f"{state}.part{os.getpid()}"

@@ -29,6 +29,64 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def build_vfs_workload(seconds, seed=3):
+    """Full-architecture synthetic-weight VFS + synthetic broadcast WAVs.
+
+    Returns ``(vfs, path, halves)``: a `VoiceFemininityScoring` with a
+    random-init FULL ResNet101 (compute cost identical to the released
+    checkpoint), one `seconds`-long WAV, and the same signal split into two
+    half files (for the batch-prefetch A/B).  The caller must already have
+    installed the synthetic model env (`ensure_synthetic_env`).  Shared by
+    this tool and the driver-facing bench.py so both measure the same
+    workload."""
+    from bench import synth_audio
+    from inaspeechsegmenter_tpu.audio import write_wav
+    from inaspeechsegmenter_tpu.models.resnet import ResNet101XVector
+    from inaspeechsegmenter_tpu.vfs import VoiceFemininityScoring
+
+    net = ResNet101XVector()
+    params = net.init_params(seed=11)
+    vfs = VoiceFemininityScoring(gd_model_criteria="vfp", ffmpeg=None,
+                                 allow_download=False,
+                                 xvector_net=net, xvector_params=params)
+
+    tmp = tempfile.mkdtemp(prefix="iss_vfs_bench_")
+    sig = np.clip(np.rint(synth_audio(seconds, seed=seed) * 32768.0),
+                  -32768, 32767).astype(np.int16)
+    path = os.path.join(tmp, "long.wav")
+    write_wav(path, sig, 16000)
+    halves = []
+    for i, half in enumerate(np.split(sig, 2)):
+        p = os.path.join(tmp, f"half{i}.wav")
+        write_wav(p, half, 16000)
+        halves.append(p)
+    return vfs, path, halves
+
+
+def measure_vfs(seconds, rounds=3, workload=None):
+    """Best-of-``rounds`` full-pipeline VFS real-time factor with the
+    speech-only window filter on (the production default).  Returns the
+    flat record fields bench.py folds into the driver artifact."""
+    import time as _time
+
+    vfs, path, _ = workload if workload is not None \
+        else build_vfs_workload(seconds)
+    os.environ["ISS_XVEC_SPEECH_ONLY"] = "1"
+    vfs(path)  # warm: compiles the bucket programs
+    best, res = None, None
+    for _ in range(rounds):
+        t0 = _time.perf_counter()
+        res = vfs(path)
+        dt = _time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "vfs_realtime_factor_1chip": round(seconds / best, 1),
+        "vfs_vs_baseline": round(seconds / best / 500.0, 3),
+        "vfs_speech_fraction": round(res[1] / seconds, 3),
+        "vfs_n_xvectors": res[2],
+    }
+
+
 def main():
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
     from inaspeechsegmenter_tpu.utils.env import wait_for_device
@@ -54,28 +112,9 @@ def main():
 
     ensure_synthetic_env(size="full")
 
-    from bench import synth_audio
-    from inaspeechsegmenter_tpu.audio import write_wav
-    from inaspeechsegmenter_tpu.models.resnet import ResNet101XVector
-    from inaspeechsegmenter_tpu.vfs import VoiceFemininityScoring
-
     seconds = int(os.environ.get("ISS_BENCH_VFS_SECONDS", "1200"))
-    net = ResNet101XVector()
-    params = net.init_params(seed=11)
-    vfs = VoiceFemininityScoring(gd_model_criteria="vfp", ffmpeg=None,
-                                 allow_download=False,
-                                 xvector_net=net, xvector_params=params)
-
-    tmp = tempfile.mkdtemp(prefix="iss_vfs_bench_")
-    sig = np.clip(np.rint(synth_audio(seconds, seed=3) * 32768.0),
-                  -32768, 32767).astype(np.int16)
-    path = os.path.join(tmp, "long.wav")
-    write_wav(path, sig, 16000)
-    halves = []
-    for i, half in enumerate(np.split(sig, 2)):
-        p = os.path.join(tmp, f"half{i}.wav")
-        write_wav(p, half, 16000)
-        halves.append(p)
+    vfs, path, halves = build_vfs_workload(seconds)
+    tmp = os.path.dirname(path)
 
     def run(speech_only):
         os.environ["ISS_XVEC_SPEECH_ONLY"] = "1" if speech_only else "0"
