@@ -51,6 +51,7 @@ class Trainer:
 
             mesh = make_2d_mesh(model=1)
         self.mesh = mesh
+        self.spec = spec  # original (softmax kept): export_model ships it
         self.forward = build_forward(strip_final_softmax(spec))
         self.optimizer = optax.adam(learning_rate)
 
@@ -127,6 +128,33 @@ class Trainer:
     def predict_proba(self, x):
         logits = self.forward(self.params, jnp.asarray(x))
         return np.asarray(jax.nn.softmax(logits, axis=-1))
+
+    def evaluate(self, x, y):
+        """Top-1 accuracy on host arrays (held-out evaluation)."""
+        return float((self.predict_proba(x).argmax(axis=1)
+                      == np.asarray(y)).mean())
+
+    def export_model(self, path):
+        """Deploy the trained parameters as a registry-loadable native npz.
+
+        Writes the ORIGINAL spec (softmax head kept — serving wants
+        probabilities) plus the current parameter values, in the same
+        native format `load_patch_model` resolves (models/registry.py), so
+        a trained model drops into the fused pipeline by placing the file
+        in ISS_TPU_MODEL_DIR under the registry stem.  The `synthetic`
+        marker is replaced by `trained` — the stand-in warning must not
+        fire for weights that were actually fit to data.
+        """
+        from .. import __version__ as _ver
+        from ..models.keras_h5 import save_native
+
+        spec = dict(self.spec)
+        spec.pop("synthetic", None)
+        spec["trained"] = {"framework_version": _ver}
+        host_params = {k: [np.asarray(a) for a in v]
+                       for k, v in self.params.items()}
+        save_native(path, spec, host_params)
+        return path
 
     # -- checkpoint / resume -------------------------------------------------
     # The reference has file-granular resume only (skipifexist); training
