@@ -26,6 +26,7 @@ from .dsp.sidekit import SidekitFrontend, frame_count
 from .export import seg2csv, seg2textgrid
 from .models.registry import load_patch_model
 from .pipeline import FusedPipeline, rle, bucket_rows
+from .utils.env import require_device
 from .utils.prefetch import run_prefetched, staged_producer
 from .utils.timing import StageTimers
 
@@ -144,6 +145,10 @@ class Segmenter:
         name or None (then only 16 kHz WAV input is accepted), `batch_size`
         (API parity), `energy_ratio` for the energy VAD threshold.
         """
+        # bounded probe before the ctor's device touches (param uploads,
+        # auto-frontend link measurement): a stalled accelerator link must
+        # raise a clear TimeoutError, not hang the caller (ISS_CTOR_LINK_WAIT)
+        require_device("Segmenter()")
         self.ffmpeg = check_ffmpeg(ffmpeg)
         self.energy_ratio = energy_ratio
         self.batch_size = batch_size

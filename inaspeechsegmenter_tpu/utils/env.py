@@ -5,6 +5,58 @@ from __future__ import annotations
 import os
 
 
+# process-wide "the device link answered at least once" latch: one
+# successful probe (from a bench entry point or a constructor) covers all
+# later constructors in the process
+_DEVICE_OK = False
+
+
+def require_device(what="constructor"):
+    """Bounded guard before a constructor's first device touch.
+
+    `Segmenter()` / `VoiceFemininityScoring()` upload parameters and (on
+    auto frontend selection) run a link-bandwidth round-trip during
+    construction; on a stalled accelerator link those block forever with
+    no diagnostic (the tunneled-TPU stalls run tens of minutes).  This
+    probes the link with the same subprocess pattern the bench entry
+    points use (`wait_for_device`) and raises a clear ``TimeoutError``
+    after ``ISS_CTOR_LINK_WAIT`` seconds (default 600; <=0 skips the
+    guard) instead of hanging the caller.
+
+    Skipped entirely on CPU platforms (nothing to stall) and after any
+    prior successful probe in this process.
+    """
+    global _DEVICE_OK
+    if _DEVICE_OK:
+        return
+    plat = (os.environ.get("JAX_PLATFORMS") or "").split(",")[0].strip()
+    if not plat:
+        # tests and embedders pin the platform through the config API
+        # (sitecustomize hooks ignore the env var); reading the config
+        # only imports jax — it does not initialize a backend
+        try:
+            import jax
+
+            plat = (jax.config.jax_platforms or "").split(",")[0].strip()
+        except Exception:
+            plat = ""
+    if plat.lower() == "cpu":
+        _DEVICE_OK = True
+        return
+    wait = float(os.environ.get("ISS_CTOR_LINK_WAIT", "600"))
+    if wait <= 0:
+        _DEVICE_OK = True
+        return
+    if not wait_for_device(wait, probe_timeout=min(120.0, wait)):
+        raise TimeoutError(
+            f"{what}: the accelerator link did not answer a probe within "
+            f"ISS_CTOR_LINK_WAIT={wait:.0f}s — the device backend appears "
+            "stalled or unreachable. Raise ISS_CTOR_LINK_WAIT to keep "
+            "waiting, set it <=0 to skip this guard, or set "
+            "JAX_PLATFORMS=cpu to run without the accelerator.")
+    _DEVICE_OK = True
+
+
 def wait_for_device(max_wait=1800.0, probe_timeout=120.0):
     """Block until the default JAX device answers a matmul, or give up.
 
@@ -38,11 +90,13 @@ def wait_for_device(max_wait=1800.0, probe_timeout=120.0):
     prev = env.get("PYTHONPATH", "")
     env["PYTHONPATH"] = prev + (os.pathsep if prev else "") + root
     deadline = time.time() + max_wait
+    global _DEVICE_OK
     while True:
         try:
             r = subprocess.run([sys.executable, "-c", code], env=env,
                                capture_output=True, timeout=probe_timeout)
             if r.returncode == 0:
+                _DEVICE_OK = True  # constructors need no second probe
                 return True
         except subprocess.TimeoutExpired:
             pass

@@ -28,6 +28,7 @@ from .dsp.vbx import VbxFrontend, vbx_i16_enabled as _vbx_i16_enabled
 from .models.registry import get_remote, load_patch_model
 from .models.resnet import ResNet101XVector
 from .segmenter import Segmenter
+from .utils.env import require_device
 
 logger = logging.getLogger(__name__)
 
@@ -300,6 +301,10 @@ class VoiceFemininityScoring:
         reference farms whole files to single-GPU workers instead)."""
         assert backend in ["jax", "onnx", "pytorch"], \
             "backend is accepted for API parity; execution is always JAX"
+        # bounded probe before the ~60 MB ResNet param upload below: a
+        # stalled accelerator link raises TimeoutError instead of hanging
+        # (ISS_CTOR_LINK_WAIT; see utils/env.require_device)
+        require_device("VoiceFemininityScoring()")
         self.xvector_model = JaxResnetExtractor(allow_download,
                                                 params=xvector_params,
                                                 net=xvector_net, mesh=mesh)
