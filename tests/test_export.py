@@ -6,6 +6,10 @@ import pandas as pd
 
 from inaspeechsegmenter_tpu.export import seg2csv, seg2textgrid
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def _golden_lseg(media_dir, name):
     df = pd.read_csv(f"{media_dir}/{name}", sep="\t",

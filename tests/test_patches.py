@@ -7,6 +7,8 @@ import pytest
 
 from inaspeechsegmenter_tpu.dsp.patches import gather_normalized_patches
 
+pytestmark = pytest.mark.smoke
+
 
 def oracle_patches(mspec, w=68, step=2):
     """Numpy oracle: sliding windows, per-patch norm, replicate padding."""

@@ -22,6 +22,7 @@ def seg_smn(synthetic_model_dir):
                      allow_download=False)
 
 
+@pytest.mark.smoke
 def test_silence_is_noenergy(seg_smn, media_dir):
     """Weight-independent golden parity: silence has no energetic frames, so
     the result equals the reference golden csv exactly
@@ -30,6 +31,7 @@ def test_silence_is_noenergy(seg_smn, media_dir):
     assert out == [("noEnergy", 0.0, 1.98)]
 
 
+@pytest.mark.smoke
 def test_tiling_and_vocab(seg_smn, media_dir):
     out = seg_smn(f"{media_dir}/musanmix.wav")
     assert len(out) > 1

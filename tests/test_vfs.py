@@ -9,6 +9,7 @@ from inaspeechsegmenter_tpu.vfs import (add_needed_vectors,
                                         get_femininity_score)
 
 
+@pytest.mark.smoke
 def test_timeline_basic():
     tl = SpeechTimeline([(1.0, 2.0), (3.0, 5.0)])
     assert tl.total_duration() == 3.0
@@ -41,6 +42,7 @@ def test_timeline_vs_bruteforce(rng):
         assert tl.contains_point(m) == brute
 
 
+@pytest.mark.smoke
 def test_add_needed_vectors():
     # 10 windows total, only 2 kept -> back-fill to round(0.5*10)=5
     kept = [(f"k{i}", (i, i + 1), np.ones(4)) for i in range(2)]
@@ -52,6 +54,7 @@ def test_add_needed_vectors():
     assert {k for k, _, _ in out[2:]} == {"k7", "k6", "k5"}
 
 
+@pytest.mark.smoke
 def test_femininity_score():
     preds = [(0, 1, 0.9), (1, 2, 0.4), (2, 3, 0.5), (3, 4, 0.1)]
     assert get_femininity_score(preds) == 0.5
@@ -68,6 +71,7 @@ def vfs(synthetic_model_dir):
         xvector_net=net, xvector_params=net.init_params(seed=7))
 
 
+@pytest.mark.smoke
 def test_vfs_end_to_end(vfs, media_dir):
     score, speech_dur, n = vfs(f"{media_dir}/lamartine.wav")
     if speech_dur == 0:

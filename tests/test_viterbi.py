@@ -8,6 +8,7 @@ from inaspeechsegmenter_tpu.decode import (viterbi_decoding, viterbi_path,
                                            diag_trans_exp)
 
 
+@pytest.mark.smoke
 def test_transition_builders(ref_viterbi_utils):
     np.testing.assert_allclose(pred2logemission([0, 1, 1, 0]),
                                ref_viterbi_utils.pred2logemission([0, 1, 1, 0]))
@@ -28,6 +29,7 @@ def test_random_parity(ref_viterbi, k, t, seed):
     np.testing.assert_array_equal(ours, theirs)
 
 
+@pytest.mark.smoke
 def test_energy_vad_style(ref_viterbi, ref_viterbi_utils):
     rng = np.random.default_rng(7)
     act = rng.random(3000) > 0.6

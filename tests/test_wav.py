@@ -8,6 +8,8 @@ from scipy.io import wavfile
 
 from inaspeechsegmenter_tpu.audio import read_wav, write_wav
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.mark.parametrize("subtype", ["PCM_16", "PCM_32", "FLOAT", "DOUBLE"])
 def test_roundtrip(subtype, rng):
