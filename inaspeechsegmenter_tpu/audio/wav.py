@@ -142,6 +142,14 @@ def _read_wav_stream(f, dtype, always_2d):
         data = data[: (len(data) // channels) * channels].reshape(-1, channels)
 
     out_dtype = np.dtype(dtype)
+    # corrupt float payloads can carry inf/NaN/overflowing values: decode
+    # them as-is like libsndfile, without leaking RuntimeWarnings
+    with np.errstate(over="ignore", invalid="ignore"):
+        return _convert(data, out_dtype, scale, bits, dtype,
+                        always_2d), samplerate
+
+
+def _convert(data, out_dtype, scale, bits, dtype, always_2d):
     if out_dtype.kind == "f":
         out = data.astype(out_dtype)
         if scale is not None:
@@ -170,7 +178,7 @@ def _read_wav_stream(f, dtype, always_2d):
 
     if always_2d and out.ndim == 1:
         out = out[:, None]
-    return out, samplerate
+    return out
 
 
 def write_wav(path_or_file, data, samplerate, subtype="PCM_16"):

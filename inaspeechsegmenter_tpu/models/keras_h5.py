@@ -256,21 +256,38 @@ def _flatten_nested(entries):
     return out, rename
 
 
+def spec_from_config(config):
+    """model_config (JSON string or decoded dict) -> spec dict.
+
+    The config is untrusted input — it rides inside downloaded hdf5 files —
+    so any structural surprise raises `KerasImportError` (a ValueError)
+    instead of a raw KeyError/TypeError escaping from deep inside the walk
+    (fuzzed in tests/test_fuzz_parsers.py)."""
+    try:
+        if isinstance(config, (str, bytes)):
+            config = json.loads(_decode(config))
+        entries, inputs, outputs = _layer_entries(config)
+        entries, rename = _flatten_nested(entries)
+    except KerasImportError:
+        raise
+    except (KeyError, TypeError, IndexError, AttributeError, ValueError,
+            RecursionError) as e:
+        raise KerasImportError(f"malformed model config: {e!r}") from e
+    if rename:
+        inputs = [rename.get(n, n) for n in inputs] if inputs else inputs
+        outputs = [rename.get(n, n) for n in outputs] if outputs else outputs
+    return dict(layers=entries, inputs=inputs, outputs=outputs)
+
+
 def read_h5(path):
     """Parse a Keras hdf5 file -> (spec dict, params dict)."""
     with h5py.File(path, "r") as f:
         raw = f.attrs.get("model_config")
         if raw is None:
             raise KerasImportError(f"{path}: no model_config attribute")
-        config = json.loads(_decode(raw))
         weights = _load_weight_arrays(f)
-    entries, inputs, outputs = _layer_entries(config)
-    entries, rename = _flatten_nested(entries)
-    if rename:
-        inputs = [rename.get(n, n) for n in inputs] if inputs else inputs
-        outputs = [rename.get(n, n) for n in outputs] if outputs else outputs
-    spec = dict(layers=entries, inputs=inputs, outputs=outputs)
-    params = {e["name"]: weights.get(e["name"], []) for e in entries}
+    spec = spec_from_config(raw)
+    params = {e["name"]: weights.get(e["name"], []) for e in spec["layers"]}
     return spec, params
 
 

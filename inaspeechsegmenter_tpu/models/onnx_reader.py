@@ -262,13 +262,26 @@ def _parse_graph(mv):
 
 
 def read_model(path_or_bytes):
-    """Parse an ONNX file (or bytes) -> Graph."""
+    """Parse an ONNX file (or bytes) -> Graph.
+
+    Malformed input (the file is untrusted: truncated varints, lying
+    length fields, absurd tensor dims) raises ValueError — never a raw
+    IndexError/MemoryError from the wire walk (fuzzed in
+    tests/test_fuzz_parsers.py)."""
     if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
         data = path_or_bytes
     else:
         with open(path_or_bytes, "rb") as fh:
             data = fh.read()
-    for fno, _, val in _fields(data):
-        if fno == 7:                      # ModelProto.graph
-            return _parse_graph(val)
+    try:
+        for fno, _, val in _fields(data):
+            if fno == 7:                  # ModelProto.graph
+                return _parse_graph(val)
+    except ValueError:
+        raise
+    except (IndexError, TypeError, KeyError, AttributeError, OverflowError,
+            MemoryError, RecursionError) as e:
+        # e.g. a field carrying the wrong wire type (an int where a
+        # length-delimited submessage belongs) — found by the fuzzer
+        raise ValueError(f"malformed ONNX protobuf: {e!r}") from e
     raise ValueError("no graph found: not an ONNX ModelProto?")
