@@ -11,6 +11,8 @@ WORKDIR /opt/iss-tpu
 COPY pyproject.toml README.md ./
 COPY inaspeechsegmenter_tpu ./inaspeechsegmenter_tpu
 COPY native ./native
+COPY tools ./tools
+COPY docker-entrypoint.sh /usr/local/bin/docker-entrypoint.sh
 
 RUN pip install --no-cache-dir "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
     && pip install --no-cache-dir numpy scipy pandas h5py \
@@ -18,8 +20,13 @@ RUN pip install --no-cache-dir "jax[tpu]" -f https://storage.googleapis.com/jax-
     && make -C native
 
 # Bake model weights if present in the build context (offline serving);
-# the registry also honors ISS_TPU_MODEL_DIR at runtime.
-RUN mkdir -p /root/.keras/inaSpeechSegmenter
+# the registry also honors ISS_TPU_MODEL_DIR at runtime.  On a networked
+# build host, stage them with:  RUN python tools/fetch_weights.py
+RUN mkdir -p /root/.keras/inaSpeechSegmenter && \
+    chmod +x /usr/local/bin/docker-entrypoint.sh
 # COPY models/ /root/.keras/inaSpeechSegmenter/
 
-ENTRYPOINT ["ina_speech_segmenter"]
+# First start with real weights present runs the acceptance battery
+# (tools/verify_weights.py) and refuses to serve on FAIL; the JSON report
+# lands next to the weights.  ISS_VERIFY_ON_START=0 opts out.
+ENTRYPOINT ["docker-entrypoint.sh"]

@@ -75,9 +75,10 @@ def test_report_only_on_real_format_files(tmp_path):
     _mlp_h5(str(d / "interspeech2023_cvfr.hdf5"), rng)
     env = dict(os.environ, ISS_TPU_MODEL_DIR=str(d),
                JAX_PLATFORMS="cpu")
+    jpath = str(tmp_path / "report.json")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "verify_weights.py"),
-         "--report-only"],
+         "--report-only", "--json", jpath],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=240)
     assert r.returncode == 0, r.stdout + r.stderr
     out = r.stdout
@@ -86,6 +87,13 @@ def test_report_only_on_real_format_files(tmp_path):
     assert "FAIL" not in out
     assert "UNSUPPORTED" not in out
     assert out.count(": forward") == 5
+    # machine-readable report (CI / Docker acceptance hooks parse this)
+    rep = json.load(open(jpath))
+    assert rep["ok"] and rep["verified"]
+    assert rep["summary"]["fail"] == 0 and rep["summary"]["pass"] >= 10
+    assert rep["models"]["keras_speech_music_cnn.hdf5"].endswith(".hdf5")
+    assert rep["models"]["final.onnx"] is None
+    assert {e["status"] for e in rep["results"]} == {"PASS"}
 
 
 def test_report_flags_unsupported_layer(tmp_path):
@@ -102,9 +110,13 @@ def test_report_flags_unsupported_layer(tmp_path):
             "use_bias": True}},
     ], {"d0": [("d0/kernel:0", w), ("d0/bias:0", np.zeros(2, np.float32))]})
     env = dict(os.environ, ISS_TPU_MODEL_DIR=str(d), JAX_PLATFORMS="cpu")
+    jpath = str(tmp_path / "report.json")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "verify_weights.py"),
-         "--report-only"],
+         "--report-only", "--json", jpath],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=240)
     assert r.returncode == 1      # unsupported layer type -> FAIL
     assert "UNSUPPORTED" in r.stdout and "LSTM" in r.stdout
+    rep = json.load(open(jpath))
+    assert not rep["ok"]
+    assert any(e["status"] == "FAIL" for e in rep["results"])

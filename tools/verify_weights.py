@@ -382,6 +382,10 @@ def main():
     ap.add_argument("--report-only", action="store_true",
                     help="topology reports only, skip the golden battery")
     ap.add_argument("--ffmpeg", default="ffmpeg")
+    ap.add_argument("--json", default=os.environ.get("ISS_VERIFY_JSON"),
+                    help="also write a machine-readable report to this path "
+                         "(CI / Docker acceptance hooks parse it; env "
+                         "ISS_VERIFY_JSON)")
     args = ap.parse_args()
 
     media_dir = args.media_dir
@@ -435,8 +439,36 @@ def main():
 
     fails = [r for r in RESULTS if r[1] == "FAIL"]
     skips = [r for r in RESULTS if r[1] == "SKIP"]
-    print(f"\nsummary: {len([r for r in RESULTS if r[1] == 'PASS'])} pass, "
+    passes = [r for r in RESULTS if r[1] == "PASS"]
+    print(f"\nsummary: {len(passes)} pass, "
           f"{len(fails)} fail, {len(skips)} skip")
+    if args.json:
+        import json
+        import time
+
+        rep = {
+            "ok": not fails,
+            "verified": bool(passes),  # False = nothing real was checked
+            "summary": {"pass": len(passes), "fail": len(fails),
+                        "skip": len(skips)},
+            "results": [{"name": n, "status": s, "detail": d}
+                        for n, s, d in RESULTS],
+            "models": {k: (v if v else ("synthetic" if find_model(k)
+                                        else None))
+                       for k, v in have.items()},
+            "media_dir": media_dir,
+            "precision": {"cnn": os.environ["ISS_CNN_PRECISION"],
+                          "xvec": os.environ["ISS_XVEC_PRECISION"]},
+            "measured_at": time.strftime("%Y-%m-%d %H:%M UTC",
+                                         time.gmtime()),
+        }
+        os.makedirs(os.path.dirname(os.path.abspath(args.json)),
+                    exist_ok=True)
+        tmp_json = f"{args.json}.part{os.getpid()}"
+        with open(tmp_json, "w") as fh:
+            json.dump(rep, fh, indent=1)
+        os.replace(tmp_json, args.json)
+        print(f"json report: {args.json}")
     return 1 if fails else 0
 
 
