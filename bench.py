@@ -88,41 +88,16 @@ def label_mix(csv_paths):
 def measure_online(seg, seconds=150):
     """Compact online-latency section: OnlineSegmenter fed 1 s blocks.
 
-    Two identical passes — the first compiles every prefix-bucket program
-    (cached persistently), the second measures — so the latencies reflect
-    steady-state serving, not compile weather."""
-    from inaspeechsegmenter_tpu.online import OnlineSegmenter
+    The measurement itself (warm pass + measured pass at a fixed cadence)
+    is tools/bench_online.py's `seg_cadence` — shared so the driver
+    artifact and the full battery can never drift apart."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_online import seg_cadence
 
-    sig = synth_int16(seconds, seed=7)
-    sr = 16000
-    out = None
-    for measured in (False, True):
-        online = OnlineSegmenter(seg)
-        lat, t_first = [], None
-        t0 = time.perf_counter()
-        for i in range(seconds):
-            t1 = time.perf_counter()
-            online.feed(sig[i * sr:(i + 1) * sr])
-            labels = online.current()
-            lat.append(time.perf_counter() - t1)
-            if t_first is None and labels:
-                t_first = time.perf_counter() - t0
-        t1 = time.perf_counter()
-        final = online.finalize()
-        t_fin = time.perf_counter() - t1
-        if measured:
-            lat_ms = sorted(1000.0 * x for x in lat)
-            out = {
-                "first_provisional_s": round(t_first, 3),
-                "feed_plus_current_ms_p50": round(
-                    lat_ms[len(lat_ms) // 2], 1),
-                "feed_plus_current_ms_p95": round(
-                    lat_ms[int(0.95 * len(lat_ms))], 1),
-                "finalize_s": round(t_fin, 3),
-                "audio_seconds": seconds,
-                "feed_cadence_s": 1,
-                "n_final_segments": len(final),
-            }
+    out = dict(seg_cadence(seg, synth_int16(seconds, seed=7), cadence_s=1))
+    out.pop("metric", None)     # rides inside the bench record instead
+    out["feed_cadence_s"] = 1
     return out
 
 

@@ -50,18 +50,40 @@ def build_parser():
     return p
 
 
-def _expand(patterns):
+def _expand(patterns, side, parser):
+    """Expand paths/globs/directories; a pattern matching nothing is a
+    user error diagnosed up front (not a pandas traceback later)."""
     files = []
     for e in patterns:
         if os.path.isdir(e):
-            files += sorted(glob.glob(os.path.join(e, '*.csv')))
+            hits = sorted(glob.glob(os.path.join(e, '*.csv')))
+            if not hits:
+                parser.error(f'{side} directory {e!r} contains no *.csv')
+        elif os.path.exists(e):
+            hits = [e]
         else:
-            hits = glob.glob(e)
-            files += sorted(hits) if hits else [e]
+            hits = sorted(glob.glob(e))
+            if not hits:
+                parser.error(f'{side} pattern {e!r} matched no files')
+        files += hits
     return files
 
 
 def _pair(refs, hyps, parser):
+    """Match hypothesis files to reference files by basename.
+
+    Duplicate basenames on either side are an error: the per-file report
+    is keyed by basename (silent last-wins) while corpus totals would
+    accumulate every duplicate — the two views would disagree."""
+    for side, files in (('reference', refs), ('hypothesis', hyps)):
+        seen = {}
+        for f in files:
+            b = os.path.basename(f)
+            if b in seen and seen[b] != f:
+                parser.error(f'duplicate {side} basename {b!r}: '
+                             f'{seen[b]!r} and {f!r} — matching is by '
+                             'basename, rename or narrow the patterns')
+            seen[b] = f
     by_base = {os.path.basename(h): h for h in hyps}
     pairs, missing = [], []
     for r in refs:
@@ -82,8 +104,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
     from inaspeechsegmenter_tpu import eval as ev
 
-    refs = _expand(args.reference)
-    hyps = _expand(args.hypothesis)
+    refs = _expand(args.reference, 'reference', parser)
+    hyps = _expand(args.hypothesis, 'hypothesis', parser)
     pairs, missing = _pair(refs, hyps, parser)
     speech = frozenset(x.strip() for x in args.speech_labels.split(',')
                        if x.strip())
@@ -92,9 +114,10 @@ def main(argv=None):
     for base, r, h in pairs:
         rep = ev.evaluate(r, h, frame_dur=args.frame_dur, collar=args.collar,
                           speech_labels=speech,
-                          boundary_tolerance=args.boundary_tolerance)
+                          boundary_tolerance=args.boundary_tolerance,
+                          include_confusion=True)
+        confusions.append(rep.pop('confusion'))
         per_file[base] = rep
-        confusions.append(ev.confusion(r, h, args.frame_dur, args.collar))
         v = rep['vad']
         vad_acc[0] += v['miss_rate'] * v['speech_ref_duration']
         vad_acc[1] += v['speech_ref_duration']

@@ -127,24 +127,25 @@ def frame_diff(ref, hyp, frame_dur=FRAME_DUR, collar=0.0):
     return float(np.mean(fr != fh))
 
 
+def _confusion_from_frames(fr, fh, frame_dur):
+    """Vectorized duration confusion from aligned frame arrays: label pairs
+    are coded into a flat index and counted with one bincount, not a
+    per-frame Python loop (hour-scale files are ~180k frames)."""
+    labels, codes = np.unique(np.concatenate([fr, fh]), return_inverse=True)
+    L = len(labels)
+    cr, ch = codes[:len(fr)], codes[len(fr):]
+    counts = np.bincount(cr * L + ch, minlength=L * L)
+    return {(labels[i // L], labels[i % L]): round(float(n) * frame_dur, 6)
+            for i, n in enumerate(counts) if n}
+
+
 def confusion(ref, hyp, frame_dur=FRAME_DUR, collar=0.0):
     """Duration confusion matrix: ``{(ref_label, hyp_label): seconds}``."""
     fr, fh = _aligned_frames(ref, hyp, frame_dur, collar)
-    out = {}
-    for r, h in zip(fr, fh):
-        out[(r, h)] = out.get((r, h), 0.0) + frame_dur
-    return {k: round(v, 6) for k, v in out.items()}
+    return _confusion_from_frames(fr, fh, frame_dur)
 
 
-def label_report(ref, hyp, frame_dur=FRAME_DUR, collar=0.0):
-    """Per-label precision/recall/F1 (duration-weighted) + micro accuracy.
-
-    :return: dict with ``accuracy`` (fraction of matching frames),
-        ``scored_duration`` (seconds surviving the collar), and
-        ``labels``: ``{label: {precision, recall, f1, ref_duration,
-        hyp_duration}}``.
-    """
-    fr, fh = _aligned_frames(ref, hyp, frame_dur, collar)
+def _label_report_from_frames(fr, fh, frame_dur):
     labels = sorted(set(fr) | set(fh))
     rep = {}
     for lab in labels:
@@ -165,6 +166,32 @@ def label_report(ref, hyp, frame_dur=FRAME_DUR, collar=0.0):
             "labels": rep}
 
 
+def label_report(ref, hyp, frame_dur=FRAME_DUR, collar=0.0):
+    """Per-label precision/recall/F1 (duration-weighted) + micro accuracy.
+
+    :return: dict with ``accuracy`` (fraction of matching frames),
+        ``scored_duration`` (seconds surviving the collar), and
+        ``labels``: ``{label: {precision, recall, f1, ref_duration,
+        hyp_duration}}``.
+    """
+    fr, fh = _aligned_frames(ref, hyp, frame_dur, collar)
+    return _label_report_from_frames(fr, fh, frame_dur)
+
+
+def _vad_report_from_frames(fr, fh, speech_labels, frame_dur,
+                            miss_weight, fa_weight):
+    sp = frozenset(speech_labels)
+    r = np.fromiter((x in sp for x in fr), bool, len(fr))
+    h = np.fromiter((x in sp for x in fh), bool, len(fh))
+    n_sp, n_ns = float(np.sum(r)), float(np.sum(~r))
+    miss = float(np.sum(r & ~h)) / n_sp if n_sp else 0.0
+    fa = float(np.sum(~r & h)) / n_ns if n_ns else 0.0
+    return {"miss_rate": round(miss, 6), "fa_rate": round(fa, 6),
+            "dcf": round(miss_weight * miss + fa_weight * fa, 6),
+            "speech_ref_duration": round(n_sp * frame_dur, 6),
+            "nonspeech_ref_duration": round(n_ns * frame_dur, 6)}
+
+
 def vad_report(ref, hyp, speech_labels=SPEECH_LABELS, frame_dur=FRAME_DUR,
                collar=0.0, miss_weight=0.75, fa_weight=0.25):
     """Speech-activity scoring after mapping labels onto speech/non-speech.
@@ -178,16 +205,8 @@ def vad_report(ref, hyp, speech_labels=SPEECH_LABELS, frame_dur=FRAME_DUR,
         speech/non-speech reference durations.
     """
     fr, fh = _aligned_frames(ref, hyp, frame_dur, collar)
-    sp = frozenset(speech_labels)
-    r = np.fromiter((x in sp for x in fr), bool, len(fr))
-    h = np.fromiter((x in sp for x in fh), bool, len(fh))
-    n_sp, n_ns = float(np.sum(r)), float(np.sum(~r))
-    miss = float(np.sum(r & ~h)) / n_sp if n_sp else 0.0
-    fa = float(np.sum(~r & h)) / n_ns if n_ns else 0.0
-    return {"miss_rate": round(miss, 6), "fa_rate": round(fa, 6),
-            "dcf": round(miss_weight * miss + fa_weight * fa, 6),
-            "speech_ref_duration": round(n_sp * frame_dur, 6),
-            "nonspeech_ref_duration": round(n_ns * frame_dur, 6)}
+    return _vad_report_from_frames(fr, fh, speech_labels, frame_dur,
+                                   miss_weight, fa_weight)
 
 
 def _boundaries(lseg):
@@ -238,15 +257,32 @@ def boundary_report(ref, hyp, tolerance=0.1):
 
 
 def evaluate(ref, hyp, frame_dur=FRAME_DUR, collar=0.0,
-             speech_labels=SPEECH_LABELS, boundary_tolerance=0.1):
+             speech_labels=SPEECH_LABELS, boundary_tolerance=0.1,
+             include_confusion=False):
     """Full report for one (reference, hypothesis) pair: ``frame_diff`` +
-    `label_report` + `vad_report` + `boundary_report` in one dict."""
-    return {
-        "frame_diff": round(frame_diff(ref, hyp, frame_dur, collar), 6),
-        **label_report(ref, hyp, frame_dur, collar),
-        "vad": vad_report(ref, hyp, speech_labels, frame_dur, collar),
+    `label_report` + `vad_report` + `boundary_report` in one dict.
+
+    Each segmentation is loaded and rasterized to the frame grid ONCE and
+    every frame metric derives from that single aligned pair (a corpus run
+    would otherwise re-parse each csv five times).
+
+    :param include_confusion: add a ``confusion`` key (the `confusion`
+        dict) computed from the same frame pass — used by the corpus CLI.
+    """
+    ref = load_segmentation(ref)
+    hyp = load_segmentation(hyp)
+    fr, fh = _aligned_frames(ref, hyp, frame_dur, collar)
+    lab = _label_report_from_frames(fr, fh, frame_dur)
+    rep = {
+        "frame_diff": round(1.0 - lab["accuracy"], 6) if len(fr) else 0.0,
+        **lab,
+        "vad": _vad_report_from_frames(fr, fh, speech_labels, frame_dur,
+                                       0.75, 0.25),
         "boundaries": boundary_report(ref, hyp, boundary_tolerance),
     }
+    if include_confusion:
+        rep["confusion"] = _confusion_from_frames(fr, fh, frame_dur)
+    return rep
 
 
 def merge_confusions(per_file):

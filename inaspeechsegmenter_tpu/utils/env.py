@@ -43,6 +43,20 @@ def require_device(what="constructor"):
     if plat.lower() == "cpu":
         _DEVICE_OK = True
         return
+    # if THIS process already initialized a backend (CLI bootstrap_runtime
+    # calls jax.default_backend() for cache scoping; embedders may have run
+    # device work), the first device contact already succeeded — and on
+    # exclusive accelerators (libtpu grants one process) a subprocess probe
+    # could never succeed, so probing here would turn a healthy device into
+    # a spurious TimeoutError after the full wait
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            _DEVICE_OK = True
+            return
+    except Exception:
+        pass   # private API moved: fall through to the subprocess probe
     wait = float(os.environ.get("ISS_CTOR_LINK_WAIT", "600"))
     if wait <= 0:
         _DEVICE_OK = True

@@ -64,6 +64,28 @@ def test_guard_skips_on_cpu_and_latches(monkeypatch):
     assert env_mod._DEVICE_OK
 
 
+def test_guard_skips_when_backend_already_initialized(monkeypatch):
+    """A process that already initialized a backend (the CLIs call
+    jax.default_backend() for cache scoping before constructing models)
+    must NOT spawn a probe subprocess: the first device contact already
+    succeeded, and on exclusive accelerators (libtpu grants one process)
+    the probe child could never attach — the guard would turn a healthy
+    device into a spurious TimeoutError after the full wait."""
+    import jax
+
+    from inaspeechsegmenter_tpu.utils import env as env_mod
+
+    jax.default_backend()                     # initialize (cpu in tests)
+    monkeypatch.setattr(env_mod, "_DEVICE_OK", False)
+    monkeypatch.setenv("JAX_PLATFORMS", "fakeaccel")   # pretend accelerator
+    probed = []
+    monkeypatch.setattr(env_mod, "wait_for_device",
+                        lambda *a, **k: probed.append(1) or False)
+    env_mod.require_device("test")            # must not probe, must not raise
+    assert not probed
+    assert env_mod._DEVICE_OK
+
+
 def test_guard_opt_out(monkeypatch):
     """ISS_CTOR_LINK_WAIT <= 0 skips the probe even on accelerators."""
     from inaspeechsegmenter_tpu.utils import env as env_mod

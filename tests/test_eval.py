@@ -171,6 +171,45 @@ def test_cli_no_common_basenames(tmp_path, capsys):
         main(["-r", str(rdir), "-y", str(hdir)])
 
 
+def test_cli_duplicate_basenames_rejected(tmp_path, capsys):
+    """Basename collisions would silently last-win in the per-file report
+    while double-counting in the corpus totals — hard error instead."""
+    from inaspeechsegmenter_tpu.cli.evaluate import main
+
+    d1, d2, h = tmp_path / "r1", tmp_path / "r2", tmp_path / "h"
+    for d in (d1, d2, h):
+        d.mkdir()
+    seg2csv(REF, str(d1 / "f.csv"))
+    seg2csv(REF, str(d2 / "f.csv"))
+    seg2csv(REF, str(h / "f.csv"))
+    with pytest.raises(SystemExit):
+        main(["-r", str(d1), str(d2), "-y", str(h)])
+    assert "duplicate reference basename" in capsys.readouterr().err
+
+
+def test_cli_unmatched_pattern_rejected(tmp_path, capsys):
+    """A glob/path matching nothing is a clean parser error up front, not
+    a pandas FileNotFoundError traceback later."""
+    from inaspeechsegmenter_tpu.cli.evaluate import main
+
+    h = tmp_path / "h"
+    h.mkdir()
+    seg2csv(REF, str(h / "f.csv"))
+    with pytest.raises(SystemExit):
+        main(["-r", str(tmp_path / "nope" / "*.cvs"), "-y", str(h)])
+    assert "matched no files" in capsys.readouterr().err
+    (tmp_path / "emptydir").mkdir()
+    with pytest.raises(SystemExit):
+        main(["-r", str(tmp_path / "emptydir"), "-y", str(h)])
+    assert "contains no *.csv" in capsys.readouterr().err
+
+
+def test_evaluate_include_confusion_matches_standalone():
+    rep = ev.evaluate(REF, HYP_SHIFT, include_confusion=True)
+    assert rep["confusion"] == ev.confusion(REF, HYP_SHIFT)
+    assert "confusion" not in ev.evaluate(REF, HYP_SHIFT)
+
+
 def test_eval_on_pipeline_output(tmp_path, synthetic_model_dir):
     """End-to-end: a real segmentation scored against itself is perfect,
     and against a label-mangled copy is measurably imperfect."""

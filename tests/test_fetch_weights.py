@@ -55,3 +55,34 @@ def test_fetch_all_against_local_server(tmp_path, monkeypatch):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_mid_transfer_failure_leaves_no_part_file(tmp_path, monkeypatch):
+    """A connection that dies mid-body (Content-Length larger than what is
+    sent) must record the failure AND remove the partially-written temp
+    file — flaky-network retries must not accumulate .part litter."""
+
+    class ShortHandler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", "4096")
+            self.end_headers()
+            self.wfile.write(b"only-a-prefix")    # then close early
+
+        def log_message(self, *a):
+            pass
+
+    tool = _load_tool()
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), ShortHandler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = "http://127.0.0.1:%d/" % httpd.server_address[1]
+    try:
+        monkeypatch.setattr(tool, "DMODELS", {"w.hdf5": base})
+        dest = tmp_path / "staged"
+        failed = tool.fetch_all(str(dest))
+        assert failed == ["w.hdf5"]
+        assert not (dest / "w.hdf5").exists()
+        assert not list(dest.glob("*.part*")), "partial download left litter"
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

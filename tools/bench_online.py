@@ -68,7 +68,11 @@ def seg_cadence(seg, sig, cadence_s):
             p50, p95 = _percentiles(lat)
             out = {
                 "metric": f"online_seg_feed_latency_{cadence_s}s",
-                "first_provisional_s": round(t_first, 3),
+                # None when no provisional label appeared before the
+                # stream ended (short smoke runs): a missing first-label
+                # time is data, not a crash
+                "first_provisional_s": (round(t_first, 3)
+                                        if t_first is not None else None),
                 "feed_plus_current_ms_p50": p50,
                 "feed_plus_current_ms_p95": p95,
                 "finalize_s": round(t_fin, 3),

@@ -39,7 +39,7 @@ def build_vfs_workload(seconds, seed=3):
     installed the synthetic model env (`ensure_synthetic_env`).  Shared by
     this tool and the driver-facing bench.py so both measure the same
     workload."""
-    from bench import synth_audio
+    from bench import synth_int16
     from inaspeechsegmenter_tpu.audio import write_wav
     from inaspeechsegmenter_tpu.models.resnet import ResNet101XVector
     from inaspeechsegmenter_tpu.vfs import VoiceFemininityScoring
@@ -51,8 +51,7 @@ def build_vfs_workload(seconds, seed=3):
                                  xvector_net=net, xvector_params=params)
 
     tmp = tempfile.mkdtemp(prefix="iss_vfs_bench_")
-    sig = np.clip(np.rint(synth_audio(seconds, seed=seed) * 32768.0),
-                  -32768, 32767).astype(np.int16)
+    sig = synth_int16(seconds, seed=seed)
     path = os.path.join(tmp, "long.wav")
     write_wav(path, sig, 16000)
     halves = []

@@ -16,13 +16,28 @@ Exit status: 0 = every file present (downloaded or already there);
 
 from __future__ import annotations
 
+import importlib.util
 import os
 import sys
 import urllib.request
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from inaspeechsegmenter_tpu.models.registry import DMODELS  # noqa: E402
+def _load_dmodels():
+    """Import the registry MODULE FILE directly (not via the package):
+    the package __init__ pulls in jax and the full Segmenter stack, which
+    a fetch-only environment (e.g. the CI staging step before the
+    framework install) does not have.  registry.py itself needs only
+    numpy."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_iss_registry", os.path.join(root, "inaspeechsegmenter_tpu",
+                                      "models", "registry.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.DMODELS
+
+
+DMODELS = _load_dmodels()
 
 
 def fetch_all(dest):
@@ -33,8 +48,8 @@ def fetch_all(dest):
         if os.path.exists(path) and os.path.getsize(path) > 0:
             print(f"  {name:<36} already present")
             continue
+        tmp = f"{path}.part{os.getpid()}"
         try:
-            tmp = f"{path}.part{os.getpid()}"
             urllib.request.urlretrieve(url + name, tmp)
             os.replace(tmp, path)
             print(f"  {name:<36} downloaded "
@@ -42,6 +57,13 @@ def fetch_all(dest):
         except Exception as exc:
             failed.append(name)
             print(f"  {name:<36} FAILED: {type(exc).__name__}: {exc}")
+            # a mid-transfer failure (connection drop, short read) leaves
+            # the partially-written temp file behind — remove it so flaky
+            # retries don't accumulate .part litter in the weights dir
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
     return failed
 
 
