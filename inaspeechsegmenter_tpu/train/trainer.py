@@ -43,9 +43,13 @@ class Trainer:
     :param spec: model spec (Keras-imported or synthetic).
     :param params: parameter pytree.
     :param mesh: a (data, model) Mesh; defaults to all devices on 'data'.
+    :param class_weight: optional (n_classes,) per-class loss weights
+        (e.g. `train.data.class_weights` for imbalanced annotated
+        corpora); None = unweighted.
     """
 
-    def __init__(self, spec, params, mesh=None, learning_rate=1e-3):
+    def __init__(self, spec, params, mesh=None, learning_rate=1e-3,
+                 class_weight=None):
         if mesh is None:
             from ..parallel.mesh import make_2d_mesh
 
@@ -62,10 +66,15 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.params)
         self._data_n = int(mesh.shape["data"])
 
+        cw = (None if class_weight is None
+              else jnp.asarray(class_weight, jnp.float32))
+
         def loss_fn(p, x, y):
             logits = self.forward(p, x)
             logp = jax.nn.log_softmax(logits, axis=-1)
-            nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)
+            nll = -jnp.take_along_axis(logp, y[:, None], axis=-1)[:, 0]
+            if cw is not None:
+                nll = nll * cw[y]
             return jnp.mean(nll)
 
         @jax.jit
