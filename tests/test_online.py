@@ -179,6 +179,39 @@ def test_current_poll_reuses_provisional_emission(seg):
     assert again == first and calls == []
 
 
+def test_current_poll_reuses_decode(seg):
+    """Steady-state polls must not re-dispatch the whole-timeline Viterbi:
+    between feature-group completions the decode inputs (m chunks, capped
+    frame count) are unchanged, so the provisional result is cached.  A
+    caller mutating the returned list must not corrupt the cache, and a
+    feed that completes a NEW group must refresh the result."""
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+
+    sig = _broadcastish(int(3.4 * CHUNK * HOP), seed=11)
+    online = OnlineSegmenter(seg)
+    online.feed(sig)
+    first = online.current()
+    calls = []
+    pipe = seg.pipeline
+    real = pipe.stream_decode
+    pipe.stream_decode = lambda *a, **k: (calls.append(1), real(*a, **k))[1]
+    try:
+        again = online.current()                  # no new data
+        assert again == first and calls == []
+        again[0] = ("mutated", -1.0, -1.0)        # caller-side mutation
+        assert online.current() == first and calls == []
+        online.feed(_broadcastish(100, seed=12))  # < 1 frame of new audio
+        assert online.current() == first and calls == []
+        # complete the next feature group: decode must run exactly once
+        more = _broadcastish(int(3.2 * CHUNK * HOP), seed=13)
+        online.feed(more)
+        refreshed = online.current()
+        assert calls == [1]
+        assert online.current() == refreshed and calls == [1]
+    finally:
+        pipe.stream_decode = real
+
+
 def _growing_wav_writer(path, sig, piece, delay):
     """Write a canonical WAV header with a BOGUS (unpatched) data size,
     then append samples in pieces — like a recorder writing to disk."""

@@ -426,6 +426,26 @@ def test_online_vfs_embedding_cache_incremental(vfs, media_dir, monkeypatch):
             "re-embedded an already-cached window"
 
 
+def test_online_vfs_poll_reuses_score(vfs, media_dir, monkeypatch):
+    """Steady-state polls must not re-dispatch the scoring MLP: with the
+    VAD timeline and the embedding store unchanged, current() is cached."""
+    from inaspeechsegmenter_tpu.audio import read_wav
+    from inaspeechsegmenter_tpu.online import OnlineVFS
+
+    monkeypatch.setenv("ISS_ONLINE_VFS_BATCH", "1")
+    sig, _ = read_wav(f"{media_dir}/lamartine.wav", dtype="int16")
+    online = OnlineVFS(vfs, basename="lam")
+    online.feed(sig)
+    first = online.current()
+    calls = []
+    real = vfs._score_xvectors
+    monkeypatch.setattr(
+        vfs, "_score_xvectors",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+    assert online.current() == first and calls == []
+    assert online.current() == first and calls == []
+
+
 def test_online_vfs_feed_copies_buffer(vfs):
     """feed() must COPY: capture callbacks reuse their buffer (e.g.
     sounddevice's indata) — an aliased store would silently turn the
