@@ -64,6 +64,28 @@ def _mlp_h5(path, rng):
     ], {"g0": [("g0/kernel:0", w), ("g0/bias:0", b)]})
 
 
+def test_seg_diff_detail_quantifies_parity_misses():
+    """A byte-parity FAIL must say HOW far off: numeric jitter (within the
+    0.1% budget) reads differently from wrong weights (gross diff)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_weights", os.path.join(REPO, "tools", "verify_weights.py"))
+    vw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vw)
+
+    gold = [("male", 0.0, 5.0), ("noEnergy", 5.0, 10.0)]
+    jitter = [("male", 0.0, 5.0), ("noEnergy", 5.0, 10.0)]
+    assert "0.0000%" in vw.seg_diff_detail(gold, jitter)
+    shifted = [("male", 0.0, 5.02), ("noEnergy", 5.02, 10.0)]
+    d = vw.seg_diff_detail(gold, shifted)
+    assert "0.2000%" in d and "OVER" in d and "1/1 matched" in d
+    small = [("male", 0.0, 5.002), ("noEnergy", 5.002, 10.0)]
+    assert "within the 0.1% budget" in vw.seg_diff_detail(gold, small)
+    wrong = [("music", 0.0, 10.0)]
+    assert "100.0000%" in vw.seg_diff_detail(gold, wrong)
+
+
 def test_report_only_on_real_format_files(tmp_path):
     rng = np.random.default_rng(0)
     d = tmp_path / "models"

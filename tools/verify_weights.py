@@ -255,6 +255,24 @@ def golden_csv(media_dir, name):
     return [(r.labels, r.start, r.stop) for r in df.itertuples()]
 
 
+def seg_diff_detail(gold, got):
+    """Quantify a parity miss with the eval metrics so the report separates
+    numeric jitter (frame diff within the 0.1% budget, boundaries a frame
+    off) from wrong weights (gross diff).  `gold`/`got` are csv paths or
+    (label, start, stop) lists."""
+    try:
+        from inaspeechsegmenter_tpu import eval as ev
+
+        fd = ev.frame_diff(gold, got)
+        b = ev.boundary_report(gold, got, tolerance=0.1)
+        verdict = ("within" if fd <= 0.001 else "OVER") + " the 0.1% budget"
+        return (f"frame diff {fd:.4%} ({verdict}); boundaries "
+                f"{b['matched']}/{b['n_ref']} matched within 0.1s, "
+                f"mean |offset| {b['mean_abs_offset']}s")
+    except Exception as exc:   # diagnostics must not mask the FAIL itself
+        return f"diff metrics unavailable: {type(exc).__name__}: {exc}"
+
+
 def run_golden(media_dir, tmp, have_cnns, have_mlp, have_xvec, ffmpeg):
     from inaspeechsegmenter_tpu import Segmenter, seg2csv, seg2textgrid
 
@@ -268,11 +286,11 @@ def run_golden(media_dir, tmp, have_cnns, have_mlp, have_xvec, ffmpeg):
             out = seg(musan)
             p = os.path.join(tmp, "musanmix-smn-gender.csv")
             seg2csv(out, p)
-            ok = filecmp.cmp(p, os.path.join(media_dir,
-                                             "musanmix-smn-gender.csv"),
-                             shallow=False)
+            gold_p = os.path.join(media_dir, "musanmix-smn-gender.csv")
+            ok = filecmp.cmp(p, gold_p, shallow=False)
             record("musanmix smn+gender csv byte parity",
-                   "PASS" if ok else "FAIL")
+                   "PASS" if ok else "FAIL",
+                   "" if ok else seg_diff_detail(gold_p, p))
             tg = os.path.join(tmp, "musanmix-smn-gender.TextGrid")
             seg2textgrid(out, tg)
             ok = filecmp.cmp(tg, os.path.join(media_dir,
@@ -284,11 +302,11 @@ def run_golden(media_dir, tmp, have_cnns, have_mlp, have_xvec, ffmpeg):
             out = seg(silence)
             p = os.path.join(tmp, "silence2sec-smn-gender.csv")
             seg2csv(out, p)
-            ok = filecmp.cmp(p, os.path.join(media_dir,
-                                             "silence2sec-smn-gender.csv"),
-                             shallow=False)
+            gold_p = os.path.join(media_dir, "silence2sec-smn-gender.csv")
+            ok = filecmp.cmp(p, gold_p, shallow=False)
             record("silence2sec smn+gender csv byte parity",
-                   "PASS" if ok else "FAIL")
+                   "PASS" if ok else "FAIL",
+                   "" if ok else seg_diff_detail(gold_p, p))
 
             seg_sm = Segmenter(vad_engine="sm", detect_gender=True,
                                ffmpeg=None, allow_download=False)
@@ -305,7 +323,9 @@ def run_golden(media_dir, tmp, have_cnns, have_mlp, have_xvec, ffmpeg):
                                 [e for _, _, e in gold], atol=5e-4))
             record("musanmix sm+gender labels+boundaries",
                    "PASS" if (lab_ok and b_ok) else "FAIL",
-                   "" if lab_ok else "label sequences differ")
+                   "" if (lab_ok and b_ok) else
+                   ("label sequences differ; " if not lab_ok else "")
+                   + seg_diff_detail(gold, out))
 
             mp3 = os.path.join(media_dir, "0021.mp3")
             if ffmpeg and os.path.exists(mp3):
