@@ -144,6 +144,17 @@ def main(argv=None):
     doc = {'files': per_file, 'corpus': corpus,
            'unmatched_references': missing}
 
+    try:
+        _render(args, doc, per_file, pairs, corpus, missing)
+    except BrokenPipeError:      # e.g. `... --json | head`, any entry point
+        try:
+            sys.stdout.close()
+        except OSError:
+            pass
+    return 0
+
+
+def _render(args, doc, per_file, pairs, corpus, missing):
     if args.json:
         print(json.dumps(doc, indent=1))
     else:
@@ -173,11 +184,7 @@ def main(argv=None):
         if missing:
             print(f"  WARNING: {len(missing)} reference file(s) had no "
                   f"hypothesis: {missing}", file=sys.stderr)
-    return 0
 
 
 if __name__ == '__main__':
-    try:
-        sys.exit(main())
-    except BrokenPipeError:      # e.g. `... --json | head`
-        os._exit(0)
+    sys.exit(main())
