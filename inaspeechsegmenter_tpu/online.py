@@ -70,7 +70,10 @@ class OnlineSegmenter:
             os.environ.get("ISS_STREAMING", "1") == "0"
             or not hasattr(segmenter.frontend, "group_feats"))
         self._dtype = None          # decided by the first feed
-        self._pending = None        # raw samples not yet feature-computed
+        self._pending = None        # materialized samples not yet consumed
+        self._tail = []             # fed blocks not yet materialized: feed()
+                                    # is O(block); the concatenate happens
+                                    # once per feature group, not per feed
         self._consumed = 0          # samples dropped from the buffer front
         self._total = 0             # samples fed overall
         self._mels = []             # [(mspec_c, loge_c)] device arrays
@@ -111,12 +114,28 @@ class OnlineSegmenter:
                 f"feed dtype changed from {np.dtype(self._dtype).name} to "
                 f"{pcm.dtype.name}; an online stream must keep one sample "
                 "kind (the offline equivalence is per-signal)")
-        self._pending = np.concatenate(
-            [self._pending, pcm.astype(self._dtype, copy=False)])
+        # COPY (the old concatenate-per-feed copied too): capture callbacks
+        # reuse their buffer; appending keeps feed() O(block) instead of
+        # O(everything buffered)
+        self._tail.append(np.array(pcm, dtype=self._dtype, copy=True))
         self._total += len(pcm)
         if not self._passthrough:
             self._compute_ready_groups(final_pad_chunks=None)
         return self
+
+    def _materialize(self):
+        """Flush fed blocks into the contiguous buffer (one concatenate
+        per feature group / fallback read, not one per feed)."""
+        if self._tail:
+            self._pending = np.concatenate([self._pending, *self._tail])
+            self._tail = []
+        return self._pending
+
+    @property
+    def buffered_samples(self):
+        """Raw samples currently held (memory-bound observability)."""
+        return (len(self._pending) if self._pending is not None else
+                0) + sum(len(p) for p in self._tail)
 
     def _group_slice_end(self, g, k):
         # offline group slice: sig[g*CHUNK*HOP : ((g+k)*CHUNK + 2)*HOP]
@@ -135,9 +154,10 @@ class OnlineSegmenter:
             if final_pad_chunks is not None:
                 k = min(k, final_pad_chunks - g)
             end = self._group_slice_end(g, k)
-            have = self._consumed + len(self._pending)
+            have = self._total        # == consumed + pending + tail
             if final_pad_chunks is None and have < end:
-                return
+                return                # cheap: no materialization needed
+            self._materialize()
             start = g * CHUNK * HOP
             raw = np.zeros(end - start, self._dtype)
             avail = self._pending[start - self._consumed:
@@ -239,8 +259,8 @@ class OnlineSegmenter:
                 return []
             key = ("short", self._total, self._spec_gender)
             if self._cur is None or self._cur[0] != key:
-                self._cur = (key, self.seg.segment_signal(self._pending,
-                                                          self.start_sec))
+                self._cur = (key, self.seg.segment_signal(
+                    self._materialize(), self.start_sec))
             return list(self._cur[1])
         n = min(frame_count(self._total), m * CHUNK)
         key = (m, n, self._spec_gender)
@@ -263,7 +283,7 @@ class OnlineSegmenter:
             # nothing has been dropped yet (no group completed), so just
             # hand it the whole buffer (same errors on too-short input)
             self._finalized = self.seg.segment_signal(
-                self._pending if self._total else
+                self._materialize() if self._total else
                 np.zeros(0, self._dtype or np.float32), self.start_sec)
             return self._finalized
         self._compute_ready_groups(final_pad_chunks=n_chunks)

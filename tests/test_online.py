@@ -78,7 +78,7 @@ def test_current_provisional_and_memory_bound(seg):
         if len(online._mels) >= 2:
             saw_streaming_provisional = True
             # buffer holds at most the not-yet-computed suffix + lookahead
-            assert len(online._pending) <= (online._group + 1) * piece
+            assert online.buffered_samples <= (online._group + 1) * piece
     assert saw_streaming_provisional
     assert online._consumed > 0                 # raw prefix was dropped
     assert online.finalize() == seg.segment_signal(sig)
@@ -177,6 +177,18 @@ def test_current_poll_reuses_provisional_emission(seg):
     finally:
         pipe._jit_vad_chunk = real
     assert again == first and calls == []
+
+
+def test_feed_copies_caller_buffer(seg):
+    """feed() must copy: capture callbacks reuse their buffer — the old
+    concatenate-per-feed copied implicitly; the O(block) append must too."""
+    online = OnlineSegmenter(seg)
+    buf = np.full(1600, 100, np.int16)
+    online.feed(buf)
+    buf[:] = -100                               # caller reuses the buffer
+    online.feed(buf)
+    sig = online._materialize()
+    assert (sig[:1600] == 100).all() and (sig[1600:] == -100).all()
 
 
 def test_current_poll_reuses_decode(seg):
