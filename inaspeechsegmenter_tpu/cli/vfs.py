@@ -43,6 +43,11 @@ def build_parser():
                              '(idempotent corpus reruns).')
     parser.add_argument('--nbtry', type=int, default=1,
                         help='Attempts per file before reporting an error.')
+    parser.add_argument('--parallel', action='store_true',
+                        help='Shard each file\'s x-vector window batches '
+                             'across all local devices (data-parallel '
+                             'mesh); scores are identical to the '
+                             'single-device path.')
     parser.add_argument('--follow', action='store_true',
                         help='Tail ONE growing PCM16 mono 16 kHz WAV file '
                              '(a recording in progress): print provisional '
@@ -82,8 +87,19 @@ def main(argv=None):
     from inaspeechsegmenter_tpu.vfs import (VoiceFemininityScoring,
                                             score_to_csv)
 
+    mesh = None
+    if args.parallel:
+        import jax
+
+        from inaspeechsegmenter_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
+        else:
+            print('[vfs] --parallel: one local device, '
+                  'running single-device', flush=True)
     vfs = VoiceFemininityScoring(gd_model_criteria=args.gd_model_criteria,
-                                 ffmpeg=args.ffmpeg_binary)
+                                 ffmpeg=args.ffmpeg_binary, mesh=mesh)
 
     output_files = output_paths(input_files, odir, 'csv')
     with warnings.catch_warnings():

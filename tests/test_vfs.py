@@ -509,6 +509,39 @@ def test_follow_wav_vfs_equals_score_signal(vfs, tmp_path):
     assert got == vfs.score_signal(sig, "grow")
 
 
+def test_cli_vfs_parallel_matches_single(vfs, synthetic_model_dir, tmp_path,
+                                         monkeypatch, media_dir):
+    """--parallel builds an all-device mesh, hands it to the ctor, and the
+    batch csv is identical to the single-device run."""
+    import jax
+
+    import inaspeechsegmenter_tpu.vfs as vfs_mod
+    from inaspeechsegmenter_tpu.cli.vfs import main
+
+    seen = {}
+    real = vfs_mod.VoiceFemininityScoring
+
+    def ctor(**kw):
+        seen.update(kw)
+        return real(gd_model_criteria="vfp", ffmpeg=None,
+                    allow_download=False,
+                    xvector_net=vfs.xvector_model.net,
+                    xvector_params=vfs.xvector_model.params,
+                    mesh=kw.get("mesh"))
+
+    monkeypatch.setattr(vfs_mod, "VoiceFemininityScoring", ctor)
+    single, par = tmp_path / "single", tmp_path / "par"
+    single.mkdir(), par.mkdir()
+    wav = f"{media_dir}/lamartine.wav"
+    main(["-i", wav, "-o", str(single), "-b", "none"])
+    assert seen.get("mesh") is None
+    main(["-i", wav, "-o", str(par), "-b", "none", "--parallel"])
+    assert seen["mesh"] is not None
+    assert seen["mesh"].devices.size == len(jax.devices())
+    assert ((par / "lamartine.csv").read_text()
+            == (single / "lamartine.csv").read_text())
+
+
 def test_cli_vfs_follow(vfs, synthetic_model_dir, tmp_path, capsys,
                         monkeypatch):
     """VFS CLI --follow drives follow_wav_vfs end to end, printing
