@@ -83,12 +83,12 @@ def seg_cadence(seg, sig, cadence_s):
 
 
 def seg_backlog(seg, sig, checkpoints_min=(5, 10, 20)):
-    """current() cost right after a feed, at several backlog depths.
-
-    Feeds 10 s blocks; at each checkpoint the median of the next 5
-    feed-then-current() calls is taken (polls BETWEEN feeds hit the
-    provisional cache and dispatch nothing — the cost under test is the
-    whole-timeline decode a NEW chunk group triggers)."""
+    """current() cost at several backlog depths, measured where the cost
+    actually occurs: the poll right after a NEW feature group lands (the
+    whole-timeline provisional decode).  Polls between group arrivals hit
+    the provisional-result cache and are reported separately — feeding 10 s
+    blocks and timing an arbitrary poll would mostly measure that cache
+    (a feature group is ~2 min of audio) and hide the decode term."""
     from inaspeechsegmenter_tpu.online import OnlineSegmenter
 
     block = 10 * SR
@@ -96,21 +96,27 @@ def seg_backlog(seg, sig, checkpoints_min=(5, 10, 20)):
     for measured in (False, True):
         online = OnlineSegmenter(seg)
         marks = {}
-        nxt, pos = 0, 0
+        pos = 0
+
+        def feed_until_new_group(pos):
+            m0 = online.chunks_ready
+            while online.chunks_ready == m0 and pos + block <= len(sig):
+                online.feed(sig[pos:pos + block])
+                pos += block
+            return pos
+
         for m in checkpoints_min:
-            target = m * 60 * SR
-            while pos < target - 5 * block:
+            while pos < m * 60 * SR:
                 online.feed(sig[pos:pos + block])
                 pos += block
             costs = []
-            for _ in range(5):
-                online.feed(sig[pos:pos + block])
-                pos += block
+            for _ in range(2):                # 2 group arrivals / mark
+                pos = feed_until_new_group(pos)
                 t1 = time.perf_counter()
                 online.current()
                 costs.append(time.perf_counter() - t1)
-            marks[m] = round(1000.0 * sorted(costs)[len(costs) // 2], 1)
-        # cached poll: a second current() with no new feed
+            marks[m] = round(1000.0 * max(costs), 1)
+        # cached poll: a second current() with no new group
         t1 = time.perf_counter()
         online.current()
         cached_ms = round(1000.0 * (time.perf_counter() - t1), 2)
@@ -120,7 +126,7 @@ def seg_backlog(seg, sig, checkpoints_min=(5, 10, 20)):
                      / max(mins[-1] - mins[0], 1))
             out = {
                 "metric": "online_current_cost_vs_backlog",
-                "current_ms_by_backlog_min": marks,
+                "decode_ms_after_group_by_backlog_min": marks,
                 "cached_poll_ms": cached_ms,
                 "slope_ms_per_backlog_min": round(slope, 2),
             }
@@ -203,7 +209,9 @@ def main():
     backlog_min = int(os.environ.get("ISS_BENCH_ONLINE_BACKLOG_MIN", "20"))
     marks = (tuple(m for m in (5, 10, 20) if m <= backlog_min)
              or (backlog_min,))  # tiny smoke runs: one checkpoint
-    big = synth_int16(backlog_min * 60 + 60, seed=9)
+    # headroom past the last checkpoint: each mark waits for 2 further
+    # feature-group arrivals (~123 s of audio each)
+    big = synth_int16(backlog_min * 60 + 360, seed=9)
     print(json.dumps(seg_backlog(seg, big, marks)))
 
     # OnlineVFS: full ResNet101 x-vector architecture, random init
