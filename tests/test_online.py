@@ -179,6 +179,29 @@ def test_current_poll_reuses_provisional_emission(seg):
     assert again == first and calls == []
 
 
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_finalize_equals_offline_random_blocks(seg, seed):
+    """Property soak over the feed/materialize boundary arithmetic: feeds
+    of RANDOM sizes (1 sample .. 2.5 s, including zero-length) with
+    interleaved polls must still finalize bit-identically to offline."""
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+
+    rng = np.random.default_rng(seed)
+    n = int((2.1 + rng.uniform(0, 2.2)) * CHUNK * HOP)
+    sig = _broadcastish(n, seed=seed)
+    online = OnlineSegmenter(seg)
+    pos = 0
+    while pos < n:
+        size = int(rng.choice([1, 7, 160, 1601, 16000, 40000,
+                               rng.integers(1, 40000)]))
+        online.feed(sig[pos: pos + size])
+        pos += size
+        if rng.uniform() < 0.1:
+            online.feed(sig[pos:pos])          # zero-length feed
+            online.current()
+    assert online.finalize() == seg.segment_signal(sig)
+
+
 def test_feed_copies_caller_buffer(seg):
     """feed() must copy: capture callbacks reuse their buffer — the old
     concatenate-per-feed copied implicitly; the O(block) append must too."""
