@@ -50,6 +50,12 @@ def load_library():
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+            if hasattr(lib, "iss_pack_bits"):   # absent in pre-0.2 builds
+                lib.iss_pack_bits.restype = ctypes.c_int64
+                lib.iss_pack_bits.argtypes = [
+                    ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+                    ctypes.c_double,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
             _LIB = lib
             return _LIB
     return None
@@ -106,6 +112,32 @@ def resample(sig: np.ndarray, sr_in: int, sr_out: int = 16000):
         cap)
     if n < 0:
         raise ValueError("native resample failed")
+    return out[:n]
+
+
+def pack_bits(sig_i16: np.ndarray, min_save: float = 0.05):
+    """Native single-pass encoder for the predictive bit-packing upload
+    codec (dsp/codec.py) — byte-identical to the numpy reference encoder.
+
+    :return: packed uint8 array, a 0-length array when packing would not
+        save ``min_save`` of the raw bytes (decline — caller falls back to
+        elision/raw), or None when the native library (or the symbol, in
+        pre-0.2 builds) is unavailable and the numpy encoder should run.
+    """
+    lib = load_library()
+    if lib is None or not hasattr(lib, "iss_pack_bits"):
+        return None
+    sig = np.ascontiguousarray(sig_i16, np.int16)
+    nb = len(sig) // 320
+    cap = nb * 640 + 5 * nb + 2 * 128 * 1024
+    out = np.empty(cap, np.uint8)
+    n = lib.iss_pack_bits(
+        sig.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), len(sig),
+        min_save, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        return None          # unexpected; numpy path takes over
+    if n == 0:
+        return out[:0]       # declined
     return out[:n]
 
 

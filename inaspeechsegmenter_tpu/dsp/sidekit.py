@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .codec import BLOCK, pack_zero_elide
+from .codec import BLOCK, pack_best
 from .mel import htk_triangular_fbank
 
 WIN = 400
@@ -150,6 +150,14 @@ class SidekitFrontend:
         m, l = self._chunk_feats(s)
         return (m, l, pcm) if keep_pcm else (m, l)
 
+    @partial(jax.jit, static_argnames=("self", "nb", "keep_pcm"))
+    def _one_chunk_bits(self, buf, nb, keep_pcm=False):
+        from .codec import unpack_bits
+        pcm = unpack_bits(buf, nb)
+        s = pcm.astype(jnp.float32) * np.float32(1 / 32768.0)
+        m, l = self._chunk_feats(s)
+        return (m, l, pcm) if keep_pcm else (m, l)
+
     def group_feats(self, raw, k, keep_pcm=False, codec=None):
         """Feature-compute ONE upload group: ``raw`` covers k chunks plus
         the 2*HOP lookahead (length (k*CHUNK+2)*HOP).  The single owner of
@@ -159,15 +167,21 @@ class SidekitFrontend:
         -> ([(mspec_c, loge_c)] * k, pcm_part | None)."""
         if codec is None:
             codec = _upload_codec_enabled() and raw.dtype == np.int16
-        packed = pack_zero_elide(raw) if codec else None
-        if packed is not None:
+        packed = pack_best(raw) if codec else None
+        if packed is None:
+            res = self._one_chunk(jnp.asarray(raw), keep_pcm=keep_pcm)
+        elif packed[0] == "bits":
+            # predictive bit-packing: ~35-60% fewer link bytes on audible
+            # content, reconstructed bit-exactly on device (dsp/codec.py)
+            res = self._one_chunk_bits(jnp.asarray(packed[1]),
+                                       len(raw) // BLOCK,
+                                       keep_pcm=keep_pcm)
+        else:
             # digital-silence blocks elided: ships fewer link bytes,
             # reconstructed bit-exactly on device (dsp/codec.py)
-            res = self._one_chunk_packed(jnp.asarray(packed),
+            res = self._one_chunk_packed(jnp.asarray(packed[1]),
                                          len(raw) // BLOCK,
                                          keep_pcm=keep_pcm)
-        else:
-            res = self._one_chunk(jnp.asarray(raw), keep_pcm=keep_pcm)
         m, l = res[0], res[1]
         outs = [(m[j * CHUNK:(j + 1) * CHUNK],
                  l[j * CHUNK:(j + 1) * CHUNK]) for j in range(k)]

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .codec import BLOCK, pack_zero_elide, unpack_zero_elide
+from .codec import BLOCK, pack_best, unpack_bits, unpack_zero_elide
 from .mel import kaldi_mel_fbank
 from .sidekit import _dft_matrices, _upload_codec_enabled
 
@@ -170,6 +170,12 @@ class VbxFrontend:
         seg = self._seg_from_i16(sig, dither, n_sig)
         return self._fbank_cmvn_padded(seg, n_frames)
 
+    @partial(jax.jit, static_argnames=("self", "nb"))
+    def _fbank_cmvn_i16_bits(self, buf, dither, n_sig, n_frames, nb):
+        sig = unpack_bits(buf, nb)
+        seg = self._seg_from_i16(sig, dither, n_sig)
+        return self._fbank_cmvn_padded(seg, n_frames)
+
     def _features_i16(self, sig_i16, n):
         """int16 device path: (n,) int16 exact samples -> (T, 64) fea."""
         n_frames = (n - 80) // HOP + 1
@@ -178,10 +184,15 @@ class VbxFrontend:
         sig = np.zeros(s, np.int16)
         sig[:n] = sig_i16
         dither = self._dither_buffer(s)
-        packed = pack_zero_elide(sig) if _upload_codec_enabled() else None
+        packed = pack_best(sig) if _upload_codec_enabled() else None
         piece = 2 << 20                          # 4 MB of int16 per transfer
-        if packed is not None:
-            buf = _upload_pieces(packed, piece)
+        if packed is not None and packed[0] == "bits":
+            buf = _upload_pieces(packed[1], 4 << 20)   # uint8 pieces
+            fea = self._fbank_cmvn_i16_bits(buf, dither, jnp.int32(n),
+                                            jnp.int32(n_frames),
+                                            s // BLOCK)
+        elif packed is not None:
+            buf = _upload_pieces(packed[1], piece)
             fea = self._fbank_cmvn_i16_packed(buf, dither, jnp.int32(n),
                                               jnp.int32(n_frames),
                                               s // BLOCK)

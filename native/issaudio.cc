@@ -8,6 +8,7 @@
 // (inaspeechsegmenter_tpu/audio/native.py).  Host-side only: the output
 // feeds pinned buffers into the JAX device pipeline.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -231,6 +232,142 @@ int64_t iss_resample(const float* in, int64_t n, int32_t sr_in,
   return n_out;
 }
 
-const char* iss_version() { return "issaudio-0.1.0"; }
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Predictive bit-packing PCM16 upload encoder (dsp/codec.py `pack_bits`).
+//
+// Single-pass-per-block C encoder for the lossless upload codec: per
+// 320-sample block pick the cheapest fixed predictor (order 0/1/2), zigzag
+// the 318 residuals, pack at the smallest sufficient even bit width 0..16
+// into 128-byte-row-aligned, width-grouped pool slots.  Byte-identical to
+// the numpy reference encoder (asserted in tests/test_codec.py) — this
+// exists because the numpy encode costs ~35 ms per 2M-sample upload group
+// on a 1-core host, which is on the order of the link time the packing
+// saves; the C encode is ~5x cheaper and drops off the critical path.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kBlock = 320;
+constexpr int64_t kBytePage = 128 * 1024;
+
+// smallest sufficient EVEN width for a max zigzag value (0..16, 18=invalid)
+inline int even_width(uint32_t zmax) {
+  if (zmax == 0) return 0;
+  int bits = 32 - __builtin_clz(zmax);
+  return (bits + 1) & ~1;  // round up to even
+}
+
+inline int width_rows(int w) { return (40 * w + 127) / 128; }
+
+// residual at position i (i >= 2) under a predictor order
+inline int32_t residual(const int16_t* xb, int i, int order) {
+  if (order == 0) return xb[i];
+  if (order == 1) return (int32_t)xb[i] - xb[i - 1];
+  return (int32_t)xb[i] - 2 * (int32_t)xb[i - 1] + xb[i - 2];
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pack n int16 samples (n % 320 == 0) into `out`.  Returns the packed
+// length, 0 when packing would not save min_save of the raw bytes
+// (caller falls back), or -1 on error / insufficient capacity.
+int64_t iss_pack_bits(const int16_t* sig, int64_t n, double min_save,
+                      uint8_t* out, int64_t out_cap) {
+  if (n <= 0 || n % kBlock != 0) return -1;
+  int64_t nb = n / kBlock;
+
+  // pass 1: per-block predictor order + width
+  std::vector<uint8_t> order(nb), width(nb);
+  int64_t total_rows = 0;
+  int64_t count_w[9] = {0};  // per even width w/2 = 0..8
+  for (int64_t b = 0; b < nb; ++b) {
+    const int16_t* xb = sig + b * kBlock;
+    int32_t mx0 = INT32_MIN, mn0 = INT32_MAX;
+    int32_t mx1 = INT32_MIN, mn1 = INT32_MAX;
+    int32_t mx2 = INT32_MIN, mn2 = INT32_MAX;
+    for (int i = 2; i < kBlock; ++i) {
+      int32_t r0 = xb[i];
+      int32_t r1 = r0 - xb[i - 1];
+      int32_t r2 = r1 - ((int32_t)xb[i - 1] - xb[i - 2]);
+      if (r0 > mx0) mx0 = r0;
+      if (r0 < mn0) mn0 = r0;
+      if (r1 > mx1) mx1 = r1;
+      if (r1 < mn1) mn1 = r1;
+      if (r2 > mx2) mx2 = r2;
+      if (r2 < mn2) mn2 = r2;
+    }
+    // max zigzag value per order: max(2*max, -2*min-1)
+    int64_t z0 = std::max<int64_t>(2LL * mx0, -2LL * mn0 - 1);
+    int64_t z1 = std::max<int64_t>(2LL * mx1, -2LL * mn1 - 1);
+    int64_t z2 = std::max<int64_t>(2LL * mx2, -2LL * mn2 - 1);
+    int w0 = z0 > 65535 ? 18 : even_width((uint32_t)z0);
+    int w1 = z1 > 65535 ? 18 : even_width((uint32_t)z1);
+    int w2 = z2 > 65535 ? 18 : even_width((uint32_t)z2);
+    int o = 0, w = w0;                     // ties -> lowest order
+    if (w1 < w) { o = 1; w = w1; }
+    if (w2 < w) { o = 2; w = w2; }
+    order[b] = (uint8_t)o;
+    width[b] = (uint8_t)w;
+    total_rows += width_rows(w);
+    ++count_w[w >> 1];
+  }
+
+  int64_t n_pages = (total_rows * 128 + kBytePage - 1) / kBytePage;
+  if (n_pages < 1) n_pages = 1;
+  int64_t pool_bytes = n_pages * kBytePage;
+  int64_t out_len = pool_bytes + 5 * nb;
+  int64_t raw_bytes = nb * kBlock * 2;
+  if ((double)out_len >= (double)raw_bytes * (1.0 - min_save)) return 0;
+  if (out_len > out_cap) return -1;
+  memset(out, 0, (size_t)out_len);
+
+  // width-grouped pool region starts (ascending width, block order within)
+  int64_t region[9];  // byte offset per width w/2
+  int64_t pos = 0;
+  for (int wi = 1; wi <= 8; ++wi) {
+    region[wi] = pos;
+    pos += count_w[wi] * 128LL * width_rows(2 * wi);
+  }
+  region[0] = 0;  // width 0 writes nothing
+
+  // pass 2: heads + meta + packed residuals
+  uint8_t* heads = out + pool_bytes;
+  uint8_t* meta = out + pool_bytes + 4 * nb;
+  for (int64_t b = 0; b < nb; ++b) {
+    const int16_t* xb = sig + b * kBlock;
+    heads[4 * b + 0] = (uint8_t)(xb[0] & 0xFF);
+    heads[4 * b + 1] = (uint8_t)((uint16_t)xb[0] >> 8);
+    heads[4 * b + 2] = (uint8_t)(xb[1] & 0xFF);
+    heads[4 * b + 3] = (uint8_t)((uint16_t)xb[1] >> 8);
+    int w = width[b];
+    int o = order[b];
+    meta[b] = (uint8_t)((o << 4) | (w >> 1));
+    if (w == 0) continue;
+    uint8_t* dst = out + region[w >> 1];
+    region[w >> 1] += 128LL * width_rows(w);
+    // little-endian bit stream, width w per residual slot
+    uint64_t acc = 0;
+    int nbits = 0;
+    for (int i = 2; i < kBlock; ++i) {
+      int32_t r = residual(xb, i, o);
+      uint32_t z = (uint32_t)((r << 1) ^ (r >> 31));
+      acc |= (uint64_t)z << nbits;
+      nbits += w;
+      while (nbits >= 8) {
+        *dst++ = (uint8_t)acc;
+        acc >>= 8;
+        nbits -= 8;
+      }
+    }
+    if (nbits) *dst = (uint8_t)acc;  // rest of the row is already zero
+  }
+  return out_len;
+}
+
+const char* iss_version() { return "issaudio-0.2.0"; }
 
 }  // extern "C"

@@ -1,5 +1,6 @@
-"""Zero-block elision upload codec (dsp/codec.py): bit-exactness and the
-frontend integration (dsp/sidekit.py upload groups)."""
+"""Lossless upload codecs (dsp/codec.py): bit-exactness of zero-block
+elision and predictive bit-packing, and the frontend integration
+(dsp/sidekit.py upload groups)."""
 
 import numpy as np
 import pytest
@@ -8,7 +9,8 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from inaspeechsegmenter_tpu.dsp.codec import (  # noqa: E402
-    BLOCK, PAGE, pack_zero_elide, unpack_zero_elide)
+    BLOCK, PAGE, pack_best, pack_bits, pack_zero_elide, unpack_bits,
+    unpack_zero_elide)
 from inaspeechsegmenter_tpu.dsp.sidekit import SidekitFrontend  # noqa: E402
 
 
@@ -76,6 +78,174 @@ def test_frontend_features_identical(monkeypatch):
     monkeypatch.setenv("ISS_UPLOAD_CODEC", "0")
     m0, l0, t0 = fe.mspec_loge(sig)
     monkeypatch.setenv("ISS_UPLOAD_CODEC", "1")
+    m1, l1, t1 = fe.mspec_loge(sig)
+    assert t0 == t1
+    assert np.array_equal(np.asarray(m0), np.asarray(m1), equal_nan=True)
+    assert np.array_equal(np.asarray(l0), np.asarray(l1), equal_nan=True)
+
+
+# --------------------------------------------------------------------------
+# predictive bit-packing codec
+# --------------------------------------------------------------------------
+
+def _bits_roundtrip(sig):
+    sig = sig[:len(sig) // BLOCK * BLOCK]
+    buf = pack_bits(sig)
+    assert buf is not None
+    out = np.asarray(unpack_bits(jnp.asarray(buf), len(sig) // BLOCK))
+    assert np.array_equal(out, sig)
+    return len(buf) / (2 * len(sig))
+
+
+def test_bits_roundtrip_mixed_content():
+    """Every width/order class in one signal: silence, DC, ramps, tones
+    across the band, quiet and loud noise, full-scale extremes."""
+    rng = np.random.default_rng(0)
+    sr = 16000
+    sig = np.concatenate([
+        np.zeros(sr * 8, np.int16),                               # w=0
+        np.full(sr * 4, -12345, np.int16),                        # DC, w=0
+        (np.arange(sr * 4) % 30000 - 15000).astype(np.int16),     # ramp
+        (np.sin(2 * np.pi * 440 * np.arange(sr * 8) / sr)
+         * 9000).astype(np.int16),                                # low tone
+        (np.sin(2 * np.pi * 7999 * np.arange(sr * 8) / sr)
+         * 32767).astype(np.int16),                               # Nyquist-1
+        (rng.standard_normal(sr * 8) * 37).astype(np.int16),      # quiet
+        np.clip(rng.standard_normal(sr * 8) * 8000,
+                -32768, 32767).astype(np.int16),                  # loud
+        np.array([-32768, 32767] * (sr * 2), np.int16),           # extremes
+    ])
+    ratio = _bits_roundtrip(sig)
+    assert ratio < 0.75    # audible mix must compress meaningfully
+
+
+def test_bits_width_bin_edges():
+    """Blocks whose residual maxima sit exactly on the zigzag width-bin
+    edges (the off-by-one hot spot of any width selector)."""
+    blocks = []
+    # order-0 content: the residual IS the sample; +v has zigzag 2v,
+    # -v has zigzag 2v-1.  Edges at zigzag 2^k - 1 / 2^k.
+    for v in (1, 2, 7, 8, 127, 128, 2047, 2048, 32767):
+        for s in (v, -v):
+            b = np.zeros(BLOCK, np.int16)
+            b[::3] = s        # kill the linear predictors' advantage? no —
+            b[1::3] = -s      # alternate so diffs are LARGER than samples
+            blocks.append(b)
+    blocks.append(np.full(BLOCK, -32768, np.int16))
+    sig = np.concatenate(blocks * 40)   # enough blocks to clear min_save
+    ratio = _bits_roundtrip(sig)
+    assert ratio < 0.95
+
+
+def test_bits_declines_white_noise():
+    """Full-scale white noise is incompressible: pack_bits must decline
+    and pack_best must fall through (elide also declines: no zero block)."""
+    rng = np.random.default_rng(1)
+    sig = np.clip(rng.standard_normal(16000 * 30) * 20000,
+                  -32768, 32767).astype(np.int16)
+    sig = sig[:len(sig) // BLOCK * BLOCK]
+    assert pack_bits(sig) is None
+    assert pack_best(sig) is None
+
+
+def test_pack_best_prefers_bits_then_elide(monkeypatch):
+    rng = np.random.default_rng(2)
+    sr = 16000
+    tone = (np.sin(2 * np.pi * 300 * np.arange(sr * 60) / sr)
+            * 5000).astype(np.int16)
+    kind, _ = pack_best(tone)
+    assert kind == "bits"
+    monkeypatch.setenv("ISS_UPLOAD_PACK", "0")
+    # silence-heavy noise: bits disabled -> elision must still engage
+    sig = np.clip(rng.standard_normal(sr * 60) * 20000,
+                  -32768, 32767).astype(np.int16)
+    sig[:sr * 30] = 0
+    kind, _ = pack_best(sig)
+    assert kind == "elide"
+
+
+def test_bits_fuzz_roundtrip():
+    """Random per-block content classes, 200 blocks x 20 trials: every
+    packed signal must reconstruct bit-identically."""
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        nb = 200
+        blocks = np.zeros((nb, BLOCK), np.int16)
+        kinds = rng.integers(0, 6, nb)
+        for i, k in enumerate(kinds):
+            if k == 0:
+                continue
+            elif k == 1:
+                blocks[i] = rng.integers(-32768, 32768)
+            elif k == 2:
+                amp = int(rng.integers(1, 32767))
+                f = rng.uniform(10, 8000)
+                blocks[i] = (np.sin(2 * np.pi * f / 16000
+                                    * np.arange(BLOCK)) * amp).astype(np.int16)
+            elif k == 3:
+                scale = float(rng.uniform(0.5, 20000))
+                blocks[i] = np.clip(rng.standard_normal(BLOCK) * scale,
+                                    -32768, 32767).astype(np.int16)
+            elif k == 4:
+                blocks[i] = rng.integers(-32768, 32768, BLOCK)
+            else:
+                step = int(rng.integers(-200, 201))
+                blocks[i] = (np.arange(BLOCK) * step
+                             + int(rng.integers(-30000, 30001))
+                             ).astype(np.int16)
+        sig = blocks.reshape(-1)
+        buf = pack_bits(sig, min_save=-1.0)   # force packing even when poor
+        out = np.asarray(unpack_bits(jnp.asarray(buf), nb))
+        assert np.array_equal(out, sig), f"trial {trial} mismatch"
+
+
+def test_bits_native_encoder_byte_identical():
+    """The C encoder (native/issaudio.cc iss_pack_bits) must produce
+    byte-identical buffers to the numpy reference encoder, and agree on
+    declines, across every content class."""
+    from inaspeechsegmenter_tpu.audio.native import available
+    if not available():
+        pytest.skip("native library not built (make -C native)")
+    rng = np.random.default_rng(5)
+    sr = 16000
+    cases = [
+        (np.sin(2 * np.pi * 500 * np.arange(sr * 60) / sr)
+         * 7000).astype(np.int16),
+        np.concatenate([np.zeros(sr * 10, np.int16),
+                        (rng.standard_normal(sr * 30) * 1500
+                         ).astype(np.int16),
+                        np.full(sr * 5, 99, np.int16)]),
+        np.tile(np.array([-32768, 32767, 0, -1], np.int16), sr * 10),
+        np.clip(rng.standard_normal(sr * 30) * 20000,
+                -32768, 32767).astype(np.int16),
+        rng.integers(-32768, 32768, sr * 20).astype(np.int16),
+    ]
+    for i, sig in enumerate(cases):
+        sig = sig[:len(sig) // BLOCK * BLOCK]
+        for ms in (0.05, -1.0):
+            a = pack_bits(sig, min_save=ms)
+            b = pack_bits(sig, min_save=ms, allow_native=False)
+            if a is None or b is None:
+                assert a is None and b is None, f"case {i} decline mismatch"
+            else:
+                assert np.array_equal(a, b), f"case {i} bytes differ"
+
+
+@pytest.mark.parametrize("pack_env", ["0", "auto"])
+def test_frontend_features_identical_bits(monkeypatch, pack_env):
+    """Codec off vs on (elide-only and bits): identical device features on
+    compressible int16 content spanning multiple upload groups."""
+    rng = np.random.default_rng(7)
+    sr = 16000
+    t = np.arange(sr * 90) / sr
+    sig = (np.sin(2 * np.pi * 220 * t) * 6000
+           + rng.standard_normal(sr * 90) * 300).astype(np.int16)
+    sig[sr * 10:sr * 25] = 0
+    fe = SidekitFrontend()
+    monkeypatch.setenv("ISS_UPLOAD_CODEC", "0")
+    m0, l0, t0 = fe.mspec_loge(sig)
+    monkeypatch.setenv("ISS_UPLOAD_CODEC", "1")
+    monkeypatch.setenv("ISS_UPLOAD_PACK", pack_env)
     m1, l1, t1 = fe.mspec_loge(sig)
     assert t0 == t1
     assert np.array_equal(np.asarray(m0), np.asarray(m1), equal_nan=True)

@@ -92,6 +92,30 @@ def test_i16_upload_with_codec(media_dir, monkeypatch):
     np.testing.assert_array_equal(raw, packed)
 
 
+def test_i16_upload_with_bits_codec(monkeypatch):
+    """Predictive bit-packing on the int16 VBx path: compressible audible
+    content ships packed and reconstructs identically."""
+    rng = np.random.default_rng(12)
+    n = 16000 * 40
+    t = np.arange(n) / 16000
+    sig = (np.sin(2 * np.pi * 330 * t) * 0.2
+           + rng.standard_normal(n) * 0.01)
+    sig = np.round(np.clip(sig, -1, 1) * 32768) / 32768   # int16-exact
+    fe = VbxFrontend()
+    monkeypatch.setenv("ISS_VBX_UPLOAD", "int16")
+    monkeypatch.setenv("ISS_UPLOAD_CODEC", "0")
+    raw = np.asarray(fe.features(sig))
+    monkeypatch.setenv("ISS_UPLOAD_CODEC", "1")
+    monkeypatch.setenv("ISS_UPLOAD_PACK", "auto")
+    from inaspeechsegmenter_tpu.dsp.codec import pack_best
+    si = np.clip(np.rint(np.asarray(sig) * 32768), -32768, 32767
+                 ).astype(np.int16)
+    pad = (-len(si)) % 320
+    assert pack_best(np.pad(si, (0, pad)))[0] == "bits"   # really exercises it
+    packed = np.asarray(fe.features(sig))
+    np.testing.assert_array_equal(raw, packed)
+
+
 def test_i16_upload_rejects_out_of_range(monkeypatch):
     """float sources beyond int16 range must fall back to the f32 path."""
     sig = np.zeros(16000 * 2)
