@@ -177,6 +177,23 @@ def main():
         rec["label_mix"] = label_mix(warm_outs)
     except Exception as e:  # diagnostics must not cost the metric
         rec["label_mix_error"] = repr(e)
+    try:
+        # upload-codec effect on this mix (docs/performance.md): packed
+        # link bytes / raw int16 bytes, as actually chosen per group
+        from inaspeechsegmenter_tpu.dsp.codec import BLOCK, pack_best
+        raw_b = packed_b = 0
+        for i in range(n_files):
+            s = synth_int16(per_file, seed=i)
+            s = s[:len(s) // BLOCK * BLOCK]
+            p = pack_best(s)
+            raw_b += 2 * len(s)
+            if p is None:
+                packed_b += 2 * len(s)
+            else:
+                packed_b += len(p[1]) * p[1].dtype.itemsize
+        rec["upload_codec_byte_ratio"] = round(packed_b / raw_b, 3)
+    except Exception as e:
+        rec["upload_codec_error"] = repr(e)
 
     # VFS pipeline (same measurement as tools/bench_vfs.py, smaller
     # best-of): its own try/except so a VFS-path failure still reports
