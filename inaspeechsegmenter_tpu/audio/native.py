@@ -18,11 +18,29 @@ import numpy as np
 
 _LIB = None
 _TRIED = False
+_PACK_OK = False   # iss_pack_bits present AND speaks the current format
+
+
+def _pack_format_ok(lib) -> bool:
+    """True when the library's pack_bits writes the CURRENT codec format.
+
+    The dsp/codec.py bit-packing format changed in issaudio 0.3.0 (exact
+    odd/even widths, 32-byte sub-rows); a stale 0.2.x build would encode
+    buffers the v2 device decoder garbles.  Gate on the version string so
+    mixed builds fall back to the (byte-identical) numpy encoder instead.
+    """
+    try:
+        lib.iss_version.restype = ctypes.c_char_p
+        ver = lib.iss_version().decode()          # "issaudio-X.Y.Z"
+        parts = tuple(int(p) for p in ver.rsplit("-", 1)[1].split("."))
+        return parts >= (0, 3, 0)
+    except (AttributeError, IndexError, ValueError, UnicodeDecodeError):
+        return False
 
 
 def load_library():
     """Load libissaudio.so if present; returns ctypes lib or None."""
-    global _LIB, _TRIED
+    global _LIB, _TRIED, _PACK_OK
     if _TRIED:
         return _LIB
     _TRIED = True
@@ -50,12 +68,13 @@ def load_library():
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
-            if hasattr(lib, "iss_pack_bits"):   # absent in pre-0.2 builds
+            if hasattr(lib, "iss_pack_bits") and _pack_format_ok(lib):
                 lib.iss_pack_bits.restype = ctypes.c_int64
                 lib.iss_pack_bits.argtypes = [
                     ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
                     ctypes.c_double,
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+                _PACK_OK = True
             _LIB = lib
             return _LIB
     return None
@@ -122,10 +141,11 @@ def pack_bits(sig_i16: np.ndarray, min_save: float = 0.05):
     :return: packed uint8 array, a 0-length array when packing would not
         save ``min_save`` of the raw bytes (decline — caller falls back to
         elision/raw), or None when the native library (or the symbol, in
-        pre-0.2 builds) is unavailable and the numpy encoder should run.
+        pre-0.2 builds — or a pre-0.3 FORMAT, see `_pack_format_ok`) is
+        unavailable and the numpy encoder should run.
     """
     lib = load_library()
-    if lib is None or not hasattr(lib, "iss_pack_bits"):
+    if lib is None or not _PACK_OK:
         return None
     sig = np.ascontiguousarray(sig_i16, np.int16)
     nb = len(sig) // 320

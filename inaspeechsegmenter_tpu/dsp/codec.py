@@ -38,26 +38,29 @@ sample well below 16 bits.  Per 320-sample block:
   sample), order 1 (first difference), order 2 (second difference, the
   classic "shorten"/FLAC fixed-predictor ladder) — stores the first two
   samples verbatim, zigzag-maps the remaining 318 residuals to unsigned,
-  and packs them at the smallest sufficient EVEN bit width 0..16 (even
-  widths keep host packing to pure vector ops: 4 samples merge into one
-  uint64 of 4*w bits = w/2 whole bytes);
+  and packs them at the smallest sufficient bit width 0..16 as one
+  little-endian bitstream (8 samples span exactly w whole bytes, so the
+  stream stays byte-vectorizable at EVERY width, odd included — v1 of
+  this format rounded widths up to even, wasting ~0.5 bit/sample);
 * an all-zero or constant or linear block needs width 0 — 5 bytes total —
   so digital silence is subsumed (elision's only remaining edge is its
   lower 1-byte/block overhead on near-total silence);
-* each block's packed bytes are padded to whole 128-byte ROWS (~6%
-  overhead on typical width mixes) and the rows concatenate into ONE
+* each block's packed bytes are padded to whole 32-byte SUB-ROWS (v1
+  padded to full 128-byte rows — measured 15-25% overhead on typical
+  width mixes vs ~4% at 32 bytes) and the sub-rows concatenate into ONE
   uint8 pool padded to `BYTE_PAGE` pages, with the per-block 2-sample
-  heads and a 1-byte (order, width) meta appended — a single transfer
-  whose jit cache is keyed on the bounded ``(n_byte_pages, nb)`` exactly
-  like the elision codec;
+  heads and a 1-byte (order<<5 | width) meta appended — a single
+  transfer whose jit cache is keyed on the bounded ``(n_byte_pages,
+  nb)`` exactly like the elision codec;
 * the device rebuilds every block in one vectorized program with NO
   element gathers (byte-granularity gathers run on the TPU scalar core —
   measured ~80 ms per upload group, vs ~30 ms of link time saved): one
-  ROW gather (the elision codec's fast primitive) lands each block's
-  ≤5 rows, eight static-width dense unpack candidates (slice/shift/or on
-  the lane axis) are summed under one-hot width masks, then two
-  `cumsum`s invert the predictor ladder and a `where` on the order
-  selects the right reconstruction.
+  ROW gather on 128-byte physical rows (the elision codec's fast
+  primitive) lands each block's span, four static 32-byte-shifted slices
+  selected by the sub-row phase align it, sixteen static-width dense
+  unpack candidates (slice/shift/or on the lane axis) are summed under
+  one-hot width masks, then two `cumsum`s invert the predictor ladder
+  and a `where` on the order selects the right reconstruction.
 
 `pack_bits` returns None unless it saves ≥ `min_save` of the raw bytes —
 incompressible content (full-scale white noise) costs nothing and falls
@@ -130,27 +133,24 @@ def unpack_zero_elide(buf, nb):
 # Predictive bit-packing codec
 # --------------------------------------------------------------------------
 
-# zigzag-value -> even-width bin edges: zmax < 1 -> w=0, < 4 -> 2, < 16 -> 4,
-# ... < 65536 -> 16, >= 65536 -> 18 (= "this predictor order is unusable";
-# order 0 always fits 16 bits, so a valid choice always exists)
-_WIDTH_BINS = np.array([1, 4, 16, 64, 256, 1024, 4096, 16384, 65536],
-                       np.int64)
-
-
 def _block_width(r):
-    """Smallest sufficient even bit width per block for int32 residual rows
+    """Smallest sufficient bit width per block for int32 residual rows
     ``r`` (nb, m) under zigzag mapping — exact, via per-block min/max only
     (zigzag(v) = 2v for v>=0, -2v-1 for v<0, so the block's largest
-    zigzag value is max(2*max, -2*min-1))."""
+    zigzag value is max(2*max, -2*min-1)).  Widths above 16 mean "this
+    predictor order is unusable"; order 0 always fits 16 bits, so a valid
+    choice always exists."""
     zmax = np.maximum(2 * r.max(axis=1).astype(np.int64),
                       -2 * r.min(axis=1).astype(np.int64) - 1)
-    return 2 * np.digitize(zmax, _WIDTH_BINS).astype(np.int64)
+    # exact integer bit length: #{j in 0..15 : zmax >= 2^j}
+    w = (zmax[:, None] >= (np.int64(1) << np.arange(16))).sum(axis=1)
+    return np.where(zmax > 65535, 18, w.astype(np.int64))
 
 
-def _width_rows(w):
-    """Pool rows (128 bytes each) a block of even width ``w`` occupies:
-    320 slots * w bits / 8, rounded up to whole rows."""
-    return (40 * w + 127) // 128
+def _sub_rows(w):
+    """Pool sub-rows (32 bytes each) a block of width ``w`` occupies:
+    320 slots * w bits / 8 = 40*w bytes, rounded up to whole sub-rows."""
+    return (40 * w + 31) // 32
 
 
 def pack_bits(sig_i16: np.ndarray, min_save: float = 0.05,
@@ -168,7 +168,7 @@ def pack_bits(sig_i16: np.ndarray, min_save: float = 0.05,
     :param allow_native: force the numpy encoder when False (tests).
     :return: one uint8 buffer ``(n_pages*BYTE_PAGE + 5*nb,)`` — the packed
         residual pool (page-padded) with per-block heads (2 int16 LE) and
-        1-byte ``order<<4 | width/2`` meta appended — or ``None``.
+        1-byte ``order<<5 | width`` meta appended — or ``None``.
     """
     assert sig_i16.dtype == np.int16 and sig_i16.ndim == 1
     nb = sig_i16.shape[0] // BLOCK
@@ -185,8 +185,8 @@ def pack_bits(sig_i16: np.ndarray, min_save: float = 0.05,
     r0 = x[:, 2:]                            # order-0 "residuals"
     ws = np.stack([_block_width(r0), _block_width(r1), _block_width(r2)])
     order = ws.argmin(axis=0)                # ties -> lowest order
-    w = ws[order, np.arange(nb)]             # (nb,) even widths 0..16
-    total = int(_width_rows(w).sum()) * 128  # row-aligned pool bytes
+    w = ws[order, np.arange(nb)]             # (nb,) widths 0..16
+    total = int(_sub_rows(w).sum()) * 32     # sub-row-aligned pool bytes
     n_pages = max(1, -(-total // BYTE_PAGE))
     raw_bytes = nb * BLOCK * 2
     if n_pages * BYTE_PAGE + 5 * nb >= raw_bytes * (1.0 - min_save):
@@ -195,9 +195,9 @@ def pack_bits(sig_i16: np.ndarray, min_save: float = 0.05,
     pool = buf[:n_pages * BYTE_PAGE]
     hp = n_pages * BYTE_PAGE
     buf[hp:hp + 4 * nb] = x[:, :2].astype("<i2").view(np.uint8).reshape(-1)
-    buf[hp + 4 * nb:] = ((order << 4) | (w >> 1)).astype(np.uint8)
+    buf[hp + 4 * nb:] = ((order << 5) | w).astype(np.uint8)
     # residual selection + zigzag in ONE pass over the data (318 -> 320
-    # zero-padded slots so 4 samples always merge into whole bytes)
+    # zero-padded slots so 8 samples always span whole bytes)
     rsel = np.where((order == 1)[:, None], r1,
                     np.where((order == 2)[:, None], r2, r0))
     z32 = np.zeros((nb, BLOCK), np.int32)
@@ -207,27 +207,17 @@ def pack_bits(sig_i16: np.ndarray, min_save: float = 0.05,
     # byte scatter — and the device recomputes the identical offsets from
     # the width metadata alone
     pos = 0
-    for wv in range(2, 17, 2):
+    for wv in range(1, 17):
         sel = np.nonzero(w == wv)[0]
         if not len(sel):
             continue
         z = z32[sel]
-        rowb = 128 * _width_rows(wv)
+        rowb = 32 * _sub_rows(wv)
         by = np.zeros((len(sel), rowb), np.uint8)
-        if wv == 16:
-            by[:, :640] = z.astype("<u2").view(np.uint8)
-        elif wv == 8:
-            by[:, :320] = z.astype(np.uint8)
-        else:
-            # 4 samples -> one uint64 of 4*wv bits = wv/2 whole bytes
-            g = z[:, 0::4].astype(np.uint64)
-            for k in (1, 2, 3):
-                g |= z[:, k::4].astype(np.uint64) << (k * wv)
-            nby = wv // 2
-            gb = np.empty((len(sel), 80, nby), np.uint8)
-            for j in range(nby):
-                gb[:, :, j] = (g >> np.uint64(8 * j)).astype(np.uint8)
-            by[:, :40 * wv] = gb.reshape(len(sel), -1)
+        # little-endian bitstream at width wv: sample-major, LSB-first
+        bits = ((z[:, :, None] >> np.arange(wv)) & 1).astype(np.uint8)
+        by[:, :40 * wv] = np.packbits(
+            bits.reshape(len(sel), BLOCK * wv), axis=1, bitorder="little")
         size = len(sel) * rowb
         pool[pos:pos + size] = by.reshape(-1)
         pos += size
@@ -238,11 +228,12 @@ def unpack_bits(buf, nb):
     """Traced device-side inverse of `pack_bits`.
 
     One program for every width/order mix, built from TPU-fast primitives
-    only: a row gather lands each block's ≤5 pool rows, eight static-width
-    dense unpack candidates (slice/shift/or along the lane axis — no
-    element gathers) are summed under one-hot width masks, two row cumsums
-    invert the predictor ladder, and a `where` on the order picks the
-    reconstruction.
+    only: a row gather on 128-byte physical rows lands each block's span,
+    four static 32-byte-shifted slices selected by the sub-row phase align
+    it, sixteen static-width dense unpack candidates (slice/shift/or along
+    the lane axis — no element gathers) are summed under one-hot width
+    masks, two row cumsums invert the predictor ladder, and a `where` on
+    the order picks the reconstruction.
 
     :param buf: packed uint8 device array from `pack_bits`.
     :param nb: static block count of the original slice.
@@ -256,35 +247,44 @@ def unpack_bits(buf, nb):
     heads = hb[..., 0] | (hb[..., 1] << 8)
     heads = (heads ^ 0x8000) - 0x8000                     # (nb, 2) signed
     meta = buf[hp + 4 * nb:].astype(jnp.int32)
-    w = (meta & 0xF) * 2
-    order = meta >> 4
-    # per-block pool ROW offsets under the width-grouped layout (ascending
-    # width, block order within a width) — recomputed from the widths alone
-    rstart = jnp.zeros(nb, jnp.int32)
+    w = meta & 0x1F
+    order = meta >> 5
+    # per-block pool SUB-ROW (32-byte) offsets under the width-grouped
+    # layout (ascending width, block order within a width) — recomputed
+    # from the widths alone
+    sstart = jnp.zeros(nb, jnp.int32)
     acc = jnp.int32(0)
-    for wv in range(2, 17, 2):
+    for wv in range(1, 17):
         m = (w == wv).astype(jnp.int32)
-        within = (jnp.cumsum(m) - m) * _width_rows(wv)
-        rstart = rstart + m * (acc + within)
-        acc = acc + m.sum() * _width_rows(wv)
-    ridx = jnp.clip(rstart[:, None] + jnp.arange(5, dtype=jnp.int32),
+        within = (jnp.cumsum(m) - m) * _sub_rows(wv)
+        sstart = sstart + m * (acc + within)
+        acc = acc + m.sum() * _sub_rows(wv)
+    # physical-row gather (6 rows = 768 bytes covers the worst case: 640
+    # block bytes + up to 96 bytes of sub-row phase), then a 4-way static
+    # slice select aligns the block to its sub-row start
+    ridx = jnp.clip((sstart >> 2)[:, None] + jnp.arange(6, dtype=jnp.int32),
                     0, pool.shape[0] - 1)
-    rows = pool[ridx].reshape(nb, 640).astype(jnp.int32)  # (nb, 5*128)
+    span = pool[ridx].reshape(nb, 768).astype(jnp.int32)  # (nb, 6*128)
+    phase = sstart & 3
+    rows = jnp.zeros((nb, 640), jnp.int32)
+    for r in range(4):
+        rows = rows + jnp.where((phase == r)[:, None],
+                                span[:, 32 * r:32 * r + 640], 0)
     # dense per-width unpack candidates, summed under one-hot width masks
     # (a block's true-width candidate reads only its own 40*w bytes; the
     # other candidates read this block's padding / neighbours' rows and
     # are masked to zero)
     z = jnp.zeros((nb, BLOCK), jnp.int32)
-    for wv in range(2, 17, 2):
-        g = rows[:, :40 * wv].reshape(nb, 80, wv // 2)
+    for wv in range(1, 17):
+        g = rows[:, :40 * wv].reshape(nb, 40, wv)
         vals = []
-        for j in range(4):                     # 4 samples per byte group
+        for j in range(8):                     # 8 samples per wv-byte unit
             start = j * wv
             b0 = start >> 3
             v = g[..., b0]
-            if b0 + 1 < wv // 2:
+            if b0 + 1 < wv:
                 v = v | (g[..., b0 + 1] << 8)
-            if b0 + 2 < wv // 2:
+            if b0 + 2 < wv:
                 v = v | (g[..., b0 + 2] << 16)
             vals.append((v >> (start & 7)) & ((1 << wv) - 1))
         cand = jnp.stack(vals, axis=-1).reshape(nb, BLOCK)

@@ -239,12 +239,13 @@ int64_t iss_resample(const float* in, int64_t n, int32_t sr_in,
 //
 // Single-pass-per-block C encoder for the lossless upload codec: per
 // 320-sample block pick the cheapest fixed predictor (order 0/1/2), zigzag
-// the 318 residuals, pack at the smallest sufficient even bit width 0..16
-// into 128-byte-row-aligned, width-grouped pool slots.  Byte-identical to
-// the numpy reference encoder (asserted in tests/test_codec.py) — this
-// exists because the numpy encode costs ~35 ms per 2M-sample upload group
-// on a 1-core host, which is on the order of the link time the packing
-// saves; the C encode is ~5x cheaper and drops off the critical path.
+// the 318 residuals, pack at the smallest sufficient bit width 0..16 (odd
+// widths included) into 32-byte-sub-row-aligned, width-grouped pool slots.
+// Byte-identical to the numpy reference encoder (asserted in
+// tests/test_codec.py) — this exists because the numpy encode costs tens of
+// ms per 2M-sample upload group on a 1-core host, which is on the order of
+// the link time the packing saves; the C encode is ~5x cheaper and drops
+// off the critical path.
 // ---------------------------------------------------------------------------
 
 namespace {
@@ -252,14 +253,13 @@ namespace {
 constexpr int kBlock = 320;
 constexpr int64_t kBytePage = 128 * 1024;
 
-// smallest sufficient EVEN width for a max zigzag value (0..16, 18=invalid)
-inline int even_width(uint32_t zmax) {
+// smallest sufficient bit width for a max zigzag value (0..16, 18=invalid)
+inline int bit_width(uint32_t zmax) {
   if (zmax == 0) return 0;
-  int bits = 32 - __builtin_clz(zmax);
-  return (bits + 1) & ~1;  // round up to even
+  return 32 - __builtin_clz(zmax);
 }
 
-inline int width_rows(int w) { return (40 * w + 127) / 128; }
+inline int sub_rows(int w) { return (40 * w + 31) / 32; }
 
 // residual at position i (i >= 2) under a predictor order
 inline int32_t residual(const int16_t* xb, int i, int order) {
@@ -282,8 +282,8 @@ int64_t iss_pack_bits(const int16_t* sig, int64_t n, double min_save,
 
   // pass 1: per-block predictor order + width
   std::vector<uint8_t> order(nb), width(nb);
-  int64_t total_rows = 0;
-  int64_t count_w[9] = {0};  // per even width w/2 = 0..8
+  int64_t total_srows = 0;
+  int64_t count_w[17] = {0};  // per width 0..16
   for (int64_t b = 0; b < nb; ++b) {
     const int16_t* xb = sig + b * kBlock;
     int32_t mx0 = INT32_MIN, mn0 = INT32_MAX;
@@ -304,19 +304,19 @@ int64_t iss_pack_bits(const int16_t* sig, int64_t n, double min_save,
     int64_t z0 = std::max<int64_t>(2LL * mx0, -2LL * mn0 - 1);
     int64_t z1 = std::max<int64_t>(2LL * mx1, -2LL * mn1 - 1);
     int64_t z2 = std::max<int64_t>(2LL * mx2, -2LL * mn2 - 1);
-    int w0 = z0 > 65535 ? 18 : even_width((uint32_t)z0);
-    int w1 = z1 > 65535 ? 18 : even_width((uint32_t)z1);
-    int w2 = z2 > 65535 ? 18 : even_width((uint32_t)z2);
+    int w0 = z0 > 65535 ? 18 : bit_width((uint32_t)z0);
+    int w1 = z1 > 65535 ? 18 : bit_width((uint32_t)z1);
+    int w2 = z2 > 65535 ? 18 : bit_width((uint32_t)z2);
     int o = 0, w = w0;                     // ties -> lowest order
     if (w1 < w) { o = 1; w = w1; }
     if (w2 < w) { o = 2; w = w2; }
     order[b] = (uint8_t)o;
     width[b] = (uint8_t)w;
-    total_rows += width_rows(w);
-    ++count_w[w >> 1];
+    total_srows += sub_rows(w);
+    ++count_w[w];
   }
 
-  int64_t n_pages = (total_rows * 128 + kBytePage - 1) / kBytePage;
+  int64_t n_pages = (total_srows * 32 + kBytePage - 1) / kBytePage;
   if (n_pages < 1) n_pages = 1;
   int64_t pool_bytes = n_pages * kBytePage;
   int64_t out_len = pool_bytes + 5 * nb;
@@ -326,11 +326,11 @@ int64_t iss_pack_bits(const int16_t* sig, int64_t n, double min_save,
   memset(out, 0, (size_t)out_len);
 
   // width-grouped pool region starts (ascending width, block order within)
-  int64_t region[9];  // byte offset per width w/2
+  int64_t region[17];  // byte offset per width
   int64_t pos = 0;
-  for (int wi = 1; wi <= 8; ++wi) {
+  for (int wi = 1; wi <= 16; ++wi) {
     region[wi] = pos;
-    pos += count_w[wi] * 128LL * width_rows(2 * wi);
+    pos += count_w[wi] * 32LL * sub_rows(wi);
   }
   region[0] = 0;  // width 0 writes nothing
 
@@ -345,10 +345,10 @@ int64_t iss_pack_bits(const int16_t* sig, int64_t n, double min_save,
     heads[4 * b + 3] = (uint8_t)((uint16_t)xb[1] >> 8);
     int w = width[b];
     int o = order[b];
-    meta[b] = (uint8_t)((o << 4) | (w >> 1));
+    meta[b] = (uint8_t)((o << 5) | w);
     if (w == 0) continue;
-    uint8_t* dst = out + region[w >> 1];
-    region[w >> 1] += 128LL * width_rows(w);
+    uint8_t* dst = out + region[w];
+    region[w] += 32LL * sub_rows(w);
     // little-endian bit stream, width w per residual slot
     uint64_t acc = 0;
     int nbits = 0;
@@ -368,6 +368,10 @@ int64_t iss_pack_bits(const int16_t* sig, int64_t n, double min_save,
   return out_len;
 }
 
-const char* iss_version() { return "issaudio-0.2.0"; }
+// 0.3.0: pack_bits format v2 (exact odd/even widths 0..16, 32-byte
+// sub-row alignment, meta = order<<5 | width).  The Python loader gates
+// iss_pack_bits on this version so a stale v1 build can never mix formats
+// with a v2 decoder.
+const char* iss_version() { return "issaudio-0.3.0"; }
 
 }  // extern "C"

@@ -231,6 +231,44 @@ def test_bits_native_encoder_byte_identical():
                 assert np.array_equal(a, b), f"case {i} bytes differ"
 
 
+def test_bits_odd_width_and_meta_layout():
+    """Format v2 pins: widths are EXACT (odd included, no even rounding)
+    and the meta byte is order<<5 | width.  A residual ceiling of zigzag
+    16..31 must choose width 5, not 6."""
+    nb = 3000
+    rng = np.random.default_rng(9)
+    # order-0 content alternating +/-: samples in [-12, 12] with max |.|
+    # >= 9 per block -> zigzag max in [17, 24] -> exactly 5 bits
+    blocks = rng.integers(-8, 9, (nb, BLOCK)).astype(np.int16)
+    blocks[:, ::7] = 12 * np.sign(blocks[:, ::7] + 1).astype(np.int16)
+    sig = blocks.reshape(-1)
+    buf = pack_bits(sig, min_save=-1.0)
+    assert buf is not None
+    meta = np.asarray(buf[-nb:])
+    width = meta & 0x1F
+    assert width.max() <= 6 and (width % 2 == 1).any(), \
+        "odd widths must be representable"
+    out = np.asarray(unpack_bits(jnp.asarray(buf), nb))
+    assert np.array_equal(out, sig)
+    # native and numpy agree on the v2 meta bytes too
+    b2 = pack_bits(sig, min_save=-1.0, allow_native=False)
+    assert np.array_equal(buf, b2)
+
+
+def test_native_pack_version_gate():
+    """A stale pre-0.3 library build (v1 pool format) must be rejected by
+    the loader gate so the numpy v2 encoder runs instead."""
+    from inaspeechsegmenter_tpu.audio.native import _pack_format_ok
+
+    class FakeLib:
+        def __init__(self, ver):
+            self.iss_version = lambda: ver
+    assert not _pack_format_ok(FakeLib(b"issaudio-0.2.0"))
+    assert _pack_format_ok(FakeLib(b"issaudio-0.3.0"))
+    assert _pack_format_ok(FakeLib(b"issaudio-1.0.0"))
+    assert not _pack_format_ok(FakeLib(b"garbage"))
+
+
 @pytest.mark.parametrize("pack_env", ["0", "auto"])
 def test_frontend_features_identical_bits(monkeypatch, pack_env):
     """Codec off vs on (elide-only and bits): identical device features on
