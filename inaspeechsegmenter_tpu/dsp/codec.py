@@ -307,8 +307,8 @@ def _pack_bits_enabled() -> bool:
 
     `auto`/unset (default): on — `pack_bits` is per-group adaptive (it
     declines incompressible groups itself), so the only standing cost is
-    the host-side encode (~9 ms per 3-chunk upload group with the native
-    encoder, ~37 ms numpy-only; measured, docs/performance.md).  Measured
+    the host-side encode (~6 ms per 3-chunk upload group with the native
+    encoder; measured, docs/performance.md).  Measured
     on the tunneled v5e batch bench: median RTF 1105x vs 897x packing off,
     csv byte-equal.  `0` restores round-3 behavior (elision only).
     """
