@@ -111,12 +111,14 @@ def main():
     # initializes the backend and would itself hang on a dead link.
     state = os.path.expanduser(
         "~/.cache/inaspeechsegmenter_tpu/last_bench.json")
-    if not wait_for_device(float(os.environ.get("ISS_BENCH_LINK_WAIT",
-                                                "1800"))):
+
+    def error_record(msg):
+        """Parseable zero-record: the driver must ALWAYS get its one JSON
+        line, whatever the link does mid-run."""
         rec = {"metric": "segmentation_realtime_factor_1chip",
                "value": 0, "unit": "x_realtime", "vs_baseline": 0,
                "vfs_realtime_factor_1chip": 0, "vfs_vs_baseline": 0,
-               "error": "device link stalled; no measurement possible"}
+               "error": msg}
         try:
             # context for the reader: clearly-labeled previous successful
             # measurement on this host (NOT a fresh number)
@@ -125,6 +127,10 @@ def main():
         except (OSError, ValueError):
             pass   # missing or corrupt state must not break the record
         print(json.dumps(rec))
+
+    if not wait_for_device(float(os.environ.get("ISS_BENCH_LINK_WAIT",
+                                                "1800"))):
+        error_record("device link stalled; no measurement possible")
         return
     enable_compilation_cache()
     # deterministic full-size synthetic stand-ins: the bench must measure
@@ -142,8 +148,6 @@ def main():
 
     seconds = int(os.environ.get("ISS_BENCH_SECONDS", "3600"))
     n_files = int(os.environ.get("ISS_BENCH_FILES", "3"))
-    seg = Segmenter(vad_engine="smn", detect_gender=True, ffmpeg=None,
-                    allow_download=False)
 
     per_file = seconds // n_files
     tmp = tempfile.mkdtemp(prefix="iss_bench_")
@@ -153,18 +157,38 @@ def main():
         write_wav(p, synth_int16(per_file, seed=i), 16000)
         inputs.append(p)
 
-    def run(tag):
-        outs = [os.path.join(tmp, f"o{tag}_{i}.csv")
-                for i in range(n_files)]
-        dur, n_ok, _, _ = seg.batch_process(inputs, outs)
-        assert n_ok == n_files
-        return dur, outs
+    def measure_seg():
+        seg = Segmenter(vad_engine="smn", detect_gender=True, ffmpeg=None,
+                        allow_download=False)
 
-    _, warm_outs = run("warm")  # compile the bucket programs
-    # best-of-5: the tunneled link's throughput fluctuates ~2x between
-    # runs (docs/performance.md); best-of captures the pipeline's actual
-    # capability rather than the link's worst stall
-    best = min(run(f"r{k}")[0] for k in range(5))
+        def run(tag):
+            outs = [os.path.join(tmp, f"o{tag}_{i}.csv")
+                    for i in range(n_files)]
+            dur, n_ok, _, _ = seg.batch_process(inputs, outs)
+            assert n_ok == n_files
+            return dur, outs
+
+        _, warm_outs = run("warm")  # compile the bucket programs
+        # best-of-5: the tunneled link's throughput fluctuates ~2x between
+        # runs (docs/performance.md); best-of captures the pipeline's
+        # actual capability rather than the link's worst stall
+        best = min(run(f"r{k}")[0] for k in range(5))
+        return seg, warm_outs, best
+
+    # The tunneled runtime can abort mid-run (observed: JaxRuntimeError
+    # ABORTED "TPU backend error" with the very next probe healthy).  One
+    # retry with a fresh Segmenter (device params may be invalidated);
+    # the driver must get a parseable record, never a traceback.
+    try:
+        try:
+            seg, warm_outs, best = measure_seg()
+        except Exception:
+            if not wait_for_device(120):
+                raise
+            seg, warm_outs, best = measure_seg()
+    except Exception as e:
+        error_record(f"measurement failed: {e!r}")
+        return
 
     rtf = n_files * per_file / best
     rec = {
