@@ -85,6 +85,53 @@ def label_mix(csv_paths):
     return {lab: round(dur / grand, 3) for lab, dur in sorted(totals.items())}
 
 
+def _link_mbps_roundtrip(mib=16, rounds=3):
+    """Effective host->device link bandwidth (MB/s), forced-round-trip:
+    upload `mib` MiB of int16 and fetch a scalar reduction, best-of
+    `rounds`, with the resident-buffer (compute+readback) time subtracted
+    so the quotient is the transfer term alone.  Returns None when the
+    transfer term is lost in timing noise (fast local backends): a
+    garbage bandwidth figure would defeat the field's purpose."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.ones((mib << 20) // 2, np.int16)
+    dev = jnp.asarray(buf)
+    red = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    float(red(dev))                               # compile + warm
+    base = min(_timed(lambda: float(red(dev))) for _ in range(rounds))
+    up = min(_timed(lambda: float(red(jnp.asarray(buf))))
+             for _ in range(rounds))
+    net = up - base
+    return None if net <= 0 else (mib << 20) / 1e6 / net
+
+
+def _inprocess_device_ok(max_wait=120.0):
+    """Can THIS process still run a device op?  Used by the mid-run abort
+    retry: the subprocess probe (`wait_for_device`) cannot attach while
+    this process holds an exclusive accelerator, so only an in-process op
+    can distinguish a transient abort from a dead backend here."""
+    import jax
+    import jax.numpy as jnp
+
+    deadline = time.monotonic() + max_wait
+    while True:
+        try:
+            x = jnp.ones((128, 128), np.float32)
+            float(jnp.sum(x @ x))
+            return True
+        except Exception:
+            if time.monotonic() >= deadline:
+                return False
+            time.sleep(5)
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def measure_online(seg, seconds=150):
     """Compact online-latency section: OnlineSegmenter fed 1 s blocks.
 
@@ -178,12 +225,16 @@ def main():
     # The tunneled runtime can abort mid-run (observed: JaxRuntimeError
     # ABORTED "TPU backend error" with the very next probe healthy).  One
     # retry with a fresh Segmenter (device params may be invalidated);
-    # the driver must get a parseable record, never a traceback.
+    # the driver must get a parseable record, never a traceback.  The
+    # probe must be IN-PROCESS: wait_for_device's subprocess probe cannot
+    # attach while this process holds an exclusive accelerator, so it
+    # would report dead-link on every mid-run abort regardless of whether
+    # this process's backend recovered.
     try:
         try:
             seg, warm_outs, best = measure_seg()
         except Exception:
-            if not wait_for_device(120):
+            if not _inprocess_device_ok(120):
                 raise
             seg, warm_outs, best = measure_seg()
     except Exception as e:
@@ -202,19 +253,30 @@ def main():
     except Exception as e:  # diagnostics must not cost the metric
         rec["label_mix_error"] = repr(e)
     try:
+        # the end-to-end path is upload-bound on tunneled hosts and the
+        # link swings 13-65 MB/s by the hour (docs/performance.md) — the
+        # single variable behind cross-round RTF spread.  Record the
+        # effective host->device bandwidth AT measurement time so the
+        # artifact explains its own variance.  Forced round-trip (scalar
+        # reduction fetched to host): plain block_until_ready on an
+        # uploaded array returns before the transfer completes here.
+        mbps = _link_mbps_roundtrip()
+        if mbps is not None:        # None: transfer term lost in noise
+            rec["link_mbps"] = round(mbps, 1)
+    except Exception as e:
+        rec["link_mbps_error"] = repr(e)
+    try:
         # upload-codec effect on this mix (docs/performance.md): packed
-        # link bytes / raw int16 bytes, as actually chosen per group
-        from inaspeechsegmenter_tpu.dsp.codec import BLOCK, pack_best
+        # link bytes / raw int16 bytes, with the REAL upload loop's
+        # per-group accept/decline and page quantization (the measured
+        # run ships one pack_best decision per ISS_UPLOAD_CHUNKS group,
+        # not one per file)
+        from inaspeechsegmenter_tpu.dsp.sidekit import group_shipped_bytes
         raw_b = packed_b = 0
         for i in range(n_files):
-            s = synth_int16(per_file, seed=i)
-            s = s[:len(s) // BLOCK * BLOCK]
-            p = pack_best(s)
-            raw_b += 2 * len(s)
-            if p is None:
-                packed_b += 2 * len(s)
-            else:
-                packed_b += len(p[1]) * p[1].dtype.itemsize
+            shipped, raw = group_shipped_bytes(synth_int16(per_file, seed=i))
+            packed_b += shipped
+            raw_b += raw
         rec["upload_codec_byte_ratio"] = round(packed_b / raw_b, 3)
     except Exception as e:
         rec["upload_codec_error"] = repr(e)

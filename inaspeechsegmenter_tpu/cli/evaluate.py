@@ -146,6 +146,11 @@ def main(argv=None):
 
     try:
         _render(args, doc, per_file, pairs, corpus, missing)
+        # force the pipe write INSIDE the handler: small outputs fit the
+        # stdio buffer, so without this the BrokenPipeError would fire at
+        # interpreter-shutdown flush instead ("Exception ignored" noise +
+        # exit 120 instead of the clean 0 this handler promises)
+        sys.stdout.flush()
     except BrokenPipeError:      # e.g. `... --json | head`, any entry point
         try:
             sys.stdout.close()

@@ -62,6 +62,37 @@ def frame_count(n_samples: int) -> int:
     return (n_samples - WIN) // HOP + 1 if n_samples >= WIN else 0
 
 
+def group_shipped_bytes(sig_i16):
+    """Link bytes the upload path ships for this int16 signal vs raw.
+
+    Mirrors `mspec_loge_chunks`'s group loop exactly — same chunk-bucket
+    padding, same per-ISS_UPLOAD_CHUNKS-group slices (lookahead included),
+    one `pack_best` accept/decline + page quantization per group — with no
+    device work.  Diagnostics (bench.py's ``upload_codec_byte_ratio``)
+    must report the bytes the measured run actually shipped, not a
+    whole-file packing the pipeline never performs.
+
+    :return: ``(shipped_bytes, raw_bytes)`` — equal when the codec is
+        disabled for this backend/dtype.
+    """
+    from .codec import pack_best
+
+    sig = np.ascontiguousarray(sig_i16, dtype=np.int16)
+    n_chunks = max(1, -(-max(frame_count(len(sig)), 1) // CHUNK))
+    need = (n_chunks * CHUNK + 2) * HOP
+    sig = np.pad(sig, (0, max(0, need - len(sig))))[:need]
+    group = max(1, int(os.environ.get("ISS_UPLOAD_CHUNKS", "3")))
+    codec = _upload_codec_enabled()
+    shipped = raw_b = 0
+    for g in range(0, n_chunks, group):
+        k = min(group, n_chunks - g)
+        raw = sig[g * CHUNK * HOP: ((g + k) * CHUNK + 2) * HOP]
+        raw_b += 2 * len(raw)
+        p = pack_best(raw) if codec else None
+        shipped += 2 * len(raw) if p is None else p[1].nbytes
+    return shipped, raw_b
+
+
 def _dft_matrices(win=WIN, nfft=NFFT):
     """Real-input DFT as two (win, nfft//2+1) float32 matmul operands.
 

@@ -227,3 +227,29 @@ def test_eval_on_pipeline_output(tmp_path, synthetic_model_dir):
                for lab, a, b in lseg]
     if mangled != lseg:
         assert ev.frame_diff(lseg, mangled) > 0.0
+
+
+def test_cli_small_output_into_closed_pipe(tmp_path):
+    """`... | head` with output SMALLER than the stdio buffer: nothing
+    fails inside _render, so the BrokenPipeError surfaces at the final
+    flush — which must happen INSIDE the handler (exit 0, no
+    interpreter-shutdown 'Exception ignored' noise / exit 120)."""
+    import subprocess
+    import sys as _sys
+
+    rdir, hdir = tmp_path / "ref", tmp_path / "hyp"
+    rdir.mkdir(), hdir.mkdir()
+    seg2csv([("male", 0.0, 1.0)], str(rdir / "f.csv"))
+    seg2csv([("male", 0.0, 1.0)], str(hdir / "f.csv"))
+    # `true` exits instantly: the read end is closed long before the CLI
+    # (which pays ~1s of imports) writes its few hundred bytes.
+    # PYTHONUNBUFFERED must be stripped: with it, every print write-through
+    # fails INSIDE _render where the handler already catches it — the bug
+    # only exists with default block-buffered piped stdout (normal shells)
+    cmd = (f"env -u PYTHONUNBUFFERED {_sys.executable} "
+           f"-m inaspeechsegmenter_tpu.cli.evaluate "
+           f"-r {rdir} -y {hdir} --json | true; echo rc=${{PIPESTATUS[0]}}")
+    r = subprocess.run(["bash", "-c", cmd], capture_output=True, text=True,
+                       timeout=120, cwd="/root/repo")
+    assert "rc=0" in r.stdout, (r.stdout, r.stderr)
+    assert "Exception ignored" not in r.stderr, r.stderr

@@ -103,7 +103,10 @@ def seg_backlog(seg, sig, checkpoints_min=(5, 10, 20)):
             while online.chunks_ready == m0 and pos + block <= len(sig):
                 online.feed(sig[pos:pos + block])
                 pos += block
-            return pos
+            # a poll timed without a new group would hit the provisional
+            # cache and record ~0 ms as the decode cost — report signal
+            # exhaustion instead of silently corrupting the slope
+            return pos, online.chunks_ready > m0
 
         for m in checkpoints_min:
             while pos < m * 60 * SR:
@@ -111,24 +114,30 @@ def seg_backlog(seg, sig, checkpoints_min=(5, 10, 20)):
                 pos += block
             costs = []
             for _ in range(2):                # 2 group arrivals / mark
-                pos = feed_until_new_group(pos)
+                pos, fresh = feed_until_new_group(pos)
+                if not fresh:
+                    break
                 t1 = time.perf_counter()
                 online.current()
                 costs.append(time.perf_counter() - t1)
-            marks[m] = round(1000.0 * max(costs), 1)
+            # None = signal too short for this mark (needs ~2 group
+            # lengths of headroom past the checkpoint, scaling with
+            # ISS_UPLOAD_CHUNKS) — data, not a fake 0 ms decode
+            marks[m] = round(1000.0 * max(costs), 1) if costs else None
         # cached poll: a second current() with no new group
         t1 = time.perf_counter()
         online.current()
         cached_ms = round(1000.0 * (time.perf_counter() - t1), 2)
         if measured:
-            mins = sorted(marks)
+            mins = sorted(m for m in marks if marks[m] is not None)
             slope = ((marks[mins[-1]] - marks[mins[0]])
-                     / max(mins[-1] - mins[0], 1))
+                     / max(mins[-1] - mins[0], 1)) if len(mins) >= 2 else None
             out = {
                 "metric": "online_current_cost_vs_backlog",
                 "decode_ms_after_group_by_backlog_min": marks,
                 "cached_poll_ms": cached_ms,
-                "slope_ms_per_backlog_min": round(slope, 2),
+                "slope_ms_per_backlog_min": (round(slope, 2)
+                                             if slope is not None else None),
             }
     return out
 
