@@ -49,7 +49,7 @@ import numpy as np
 
 from .annotations import SpeechTimeline
 from .dsp.sidekit import CHUNK, HOP, frame_count
-from .pipeline import STREAM_HALO, bucket_rows
+from .pipeline import bucket_rows
 
 
 class OnlineSegmenter:
@@ -180,31 +180,21 @@ class OnlineSegmenter:
 
     # -- emissions ---------------------------------------------------------
     def _chunk_probs(self, c, zero_right=False):
-        """CNN emissions (vad, gender-or-None) for chunk c, mirroring
-        run_streaming's halo construction exactly.  Final emissions (real
-        right halo) are cached per chunk; the provisional zero-right
-        emission is cached per mel count so polling current() between
-        chunk arrivals dispatches nothing new."""
-        import jax.numpy as jnp
-
+        """CNN emissions (vad, gender-or-None) for chunk c, via the halo
+        policy's single owner (`pipeline.chunk_emissions` — shared with
+        run_streaming, which finalize()'s bit-exactness requires).  Final
+        emissions (real right halo) are cached per chunk; the provisional
+        zero-right emission is cached per mel count so polling current()
+        between chunk arrivals dispatches nothing new."""
         if not zero_right and c in self._probs:
             return self._probs[c]
         if zero_right and self._prov is not None \
                 and self._prov[0] == (len(self._mels), self._spec_gender):
             return self._prov[1]
-        pipe = self.seg.pipeline
-        pipe._ensure_stream_jits()
-        nmel_all = self._mels[0][0].shape[1]
-        zeros = jnp.zeros((STREAM_HALO, nmel_all), self._mels[0][0].dtype)
-        prev = self._mels[c - 1][0][-STREAM_HALO:] if c else zeros
-        nxt = (zeros if zero_right or c + 1 >= len(self._mels)
-               else self._mels[c + 1][0][:STREAM_HALO])
-        pv = pipe._jit_vad_chunk(self.seg.vad.model.params, prev,
-                                 self._mels[c][0], nxt, c == 0)
-        pg = None
-        if self._spec_gender:
-            pg = pipe._jit_g_chunk(self.seg.gender.model.params, prev,
-                                   self._mels[c][0], nxt, c == 0)
+        pv, pg = self.seg.pipeline.chunk_emissions(
+            self.seg.vad.model.params,
+            self.seg.gender.model.params if self._spec_gender else None,
+            self._mels, c, zero_right=zero_right)
         if zero_right:
             self._prov = ((len(self._mels), self._spec_gender), (pv, pg))
         else:
@@ -367,6 +357,29 @@ def follow_wav_vfs(path, vfs, idle_timeout=10.0, poll=0.5, on_update=None):
                           idle_timeout, poll, on_update)
 
 
+def _data_end(path, data_off, size):
+    """Feed bound for this poll: the data chunk's CURRENT declared size
+    when it looks back-patched (``data_off + declared <= size``), else
+    EOF.  Recorders finalize the size on close and taggers then append
+    LIST/INFO/id3 chunks AFTER the data payload — those bytes are not
+    samples, and the offline reader (`audio.wav.read_wav`, which
+    finalize() must agree with) reads exactly ``declared`` bytes.
+    Growing files carry 0/0xFFFFFFFF/stale placeholders instead, which
+    keep the EOF bound.  Re-read every poll: some writers back-patch
+    periodically, not just on close."""
+    import struct
+
+    try:
+        with open(path, "rb") as f:
+            f.seek(data_off - 4)
+            declared = struct.unpack("<I", f.read(4))[0]
+    except (OSError, struct.error):
+        return size
+    if declared in (0, 0xFFFFFFFF) or data_off + declared > size:
+        return size
+    return data_off + declared
+
+
 def _follow_stream(path, online, idle_timeout, poll, on_update):
     """Shared tail loop driving any online consumer (feed/finalize)."""
     import time
@@ -387,8 +400,10 @@ def _follow_stream(path, online, idle_timeout, poll, on_update):
             data_off = _wav_data_offset(path)
             if data_off is not None:
                 pos = data_off
-        if data_off is not None and size - pos >= 2:
-            want = min(((size - pos) // 2) * 2, max_read)
+        end = (_data_end(path, data_off, size)
+               if data_off is not None else 0)
+        if data_off is not None and end - pos >= 2:
+            want = min(((end - pos) // 2) * 2, max_read)
             with open(path, "rb") as f:
                 f.seek(pos)
                 blob = f.read(want)

@@ -85,6 +85,14 @@ class ParallelEngine:
     def segment_feats_sharded(self, mspec_dev, loge_dev, t, difflen,
                               start_sec=0):
         """Sharded-timeline decode of prepared features -> lseg."""
+        if self.n_dev == 1:
+            # nothing to shard: the plain fused program is identical,
+            # already shared with segment_many/batch_process, and skips
+            # compiling a dedicated shard_map chunk program + streaming
+            # tail (20-40 s each through a remote-compile tunnel) that
+            # would buy zero parallelism (same guard segment_many takes)
+            return self.seg._fused_segment(mspec_dev, loge_dev, t,
+                                           difflen, start_sec)
         n_frames_patch, n20 = patch_counts(t, difflen)
         with self.seg.timers.time("segment"):
             ids = self.seg.pipeline.run_sharded(

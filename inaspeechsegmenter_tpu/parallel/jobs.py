@@ -81,7 +81,10 @@ class JobServer:
                 print("[jobserver] queue empty, nothing left to lease")
             self.lsource = self.lsource[nbjobs:]
             self.ldest = self.ldest[nbjobs:]
-            self.i += nbjobs
+            # count jobs actually leased: bumping by the REQUESTED size
+            # on a short/empty queue would skew every later lease number
+            # an operator correlates with corpus progress
+            self.i += len(ret[0])
             return ret
 
     def has_more_jobs(self):
@@ -89,7 +92,8 @@ class JobServer:
             return len(self.lsource) > 0
 
     # ------------------------------------------------------------------
-    def serve(self, host="0.0.0.0", port=0, stop_after_dispatch=False):
+    def serve(self, host="0.0.0.0", port=0, stop_after_dispatch=False,
+              cap=1024):
         """Serve over TCP; returns (server, uri). Call server.shutdown() or
         use stop_after_dispatch to end the loop.
 
@@ -99,20 +103,37 @@ class JobServer:
         same id arrives again (a reconnect-resend after a lost reply).
         Without this, a timed-out ``get_njobs`` whose reply was lost would
         lease the NEXT batch on retry and silently orphan the first one.
+
+        :param cap: LRU bound on the per-client replay/lock maps (one
+            entry per distinct client id ever seen; restarted workers
+            mint fresh ids, so long re-feed farms need the bound).
+            Entries whose request is still EXECUTING are never evicted —
+            eviction there would mint a fresh lock for the client's
+            retry and let it run concurrently with the original,
+            breaking at-most-once.  Eviction of an idle client's entry
+            costs at most one replayed lease (the retry re-executes).
         """
         from collections import OrderedDict
 
         jobserver = self
         replay_lock = threading.Lock()
-        # LRU-bounded: every restarted worker mints a fresh client id
-        # (hostname-pid-counter), so an unbounded dict leaks one entry —
-        # holding a full lease line — per worker restart over a
-        # long-serving re-feed farm.  1024 live clients is far above any
-        # real fleet; evicting an ACTIVE client's entry would only cost
-        # one retried lease, never correctness.
         replay = OrderedDict()       # client -> (last_id, last_response)
         client_locks = OrderedDict()  # client -> per-client execution lock
-        cap = 1024
+
+        def _evict_idle(d, exclude=None):
+            # oldest-first, skipping `exclude` (the client being served:
+            # its lock may be freshly minted and not yet acquired) and
+            # clients whose lock is held (request in flight); if
+            # everything is active (fleet > cap), grow — correctness
+            # over the bound
+            for k in list(d):
+                if k == exclude:
+                    continue
+                lk = client_locks.get(k)
+                if lk is None or not lk.locked():
+                    del d[k]
+                    return True
+            return False
 
         def _client_lock(client):
             with replay_lock:
@@ -121,7 +142,8 @@ class JobServer:
                     lk = client_locks[client] = threading.Lock()
                 client_locks.move_to_end(client)
                 while len(client_locks) > cap:
-                    client_locks.popitem(last=False)
+                    if not _evict_idle(client_locks, exclude=client):
+                        break
                 return lk
 
         def _execute(req):
@@ -167,7 +189,12 @@ class JobServer:
                                     replay[client] = (req_id, payload)
                                     replay.move_to_end(client)
                                     while len(replay) > cap:
-                                        replay.popitem(last=False)
+                                        # never evict an in-flight
+                                        # client's entry: its blocked
+                                        # retry is about to need it
+                                        if not _evict_idle(
+                                                replay, exclude=client):
+                                            break
                     else:
                         payload = _execute(req)
                     self.wfile.write(payload)

@@ -316,6 +316,35 @@ class FusedPipeline:
                 partial(self._chunk_probs_impl, self.vad_forward,
                         self.vad_nmel), static_argnums=(4,))
 
+    def chunk_emissions(self, vad_params, g_params, chunks, c,
+                        zero_right=False):
+        """CNN emissions for chunk ``c`` of a per-chunk feature list —
+        the ONE owner of the streaming halo policy (prev-tail/next-head
+        STREAM_HALO slices, zero boundary halos, first-chunk replicate
+        flag), shared by `run_streaming` and the OnlineSegmenter: the
+        online finalize() == segment_signal() bit-exactness depends on
+        both sides building IDENTICAL halos, so neither may carry its
+        own copy of this arithmetic.
+
+        :param g_params: gender CNN params, or None to skip the gender
+            pass (a distinct jit signature either way).
+        :param zero_right: treat ``c`` as the stream frontier (no right
+            context yet) even if later chunks exist — the online
+            provisional path.
+        :return: (vad_probs, gender_probs | None).
+        """
+        self._ensure_stream_jits()
+        m_c = chunks[c][0]
+        zeros = jnp.zeros((STREAM_HALO, m_c.shape[1]), m_c.dtype)
+        prev = chunks[c - 1][0][-STREAM_HALO:] if c else zeros
+        nxt = (zeros if zero_right or c + 1 >= len(chunks)
+               else chunks[c + 1][0][:STREAM_HALO])
+        pv = self._jit_vad_chunk(vad_params, prev, m_c, nxt, c == 0)
+        pg = None
+        if g_params is not None:
+            pg = self._jit_g_chunk(g_params, prev, m_c, nxt, c == 0)
+        return pv, pg
+
     def run_streaming(self, vad_params, g_params, chunks, n_frames,
                       n_frames_patch, n20):
         """Streaming execution over per-chunk features.
@@ -324,21 +353,15 @@ class FusedPipeline:
             C = feature chunk size (even), len(chunks) >= 2.
         :return: (T20pad,) int32 labels, T20pad = len(chunks)*C/2.
         """
-        self._ensure_stream_jits()
         spec_gender = (self.gender is not None and
                        os.environ.get("ISS_STREAM_GENDER", "0") == "1")
-        nmel_all = chunks[0][0].shape[1]
-        zeros = jnp.zeros((STREAM_HALO, nmel_all), chunks[0][0].dtype)
         probs, probs_gl = [], []
-        for c, (m_c, _) in enumerate(chunks):
-            prev_tail = chunks[c - 1][0][-STREAM_HALO:] if c else zeros
-            next_head = (chunks[c + 1][0][:STREAM_HALO]
-                         if c + 1 < len(chunks) else zeros)
-            probs.append(self._jit_vad_chunk(vad_params, prev_tail, m_c,
-                                             next_head, c == 0))
+        for c in range(len(chunks)):
+            pv, pg = self.chunk_emissions(
+                vad_params, g_params if spec_gender else None, chunks, c)
+            probs.append(pv)
             if spec_gender:
-                probs_gl.append(self._jit_g_chunk(g_params, prev_tail, m_c,
-                                                  next_head, c == 0))
+                probs_gl.append(pg)
         return self.stream_decode(vad_params, g_params, chunks, probs,
                                   probs_gl if spec_gender else None,
                                   n_frames, n_frames_patch, n20)

@@ -359,3 +359,67 @@ def test_get_job_empty_queue_clean_error(tmp_path):
     with pytest.raises(IndexError, match="no jobs left"):
         srv.get_job("w2")
     assert srv.i == i_before
+
+
+def test_lease_counter_counts_actual_jobs(jobs_csv):
+    """Over-asking on a short queue must not skew the lease numbering
+    operators correlate with corpus progress."""
+    srv = JobServer(jobs_csv)                 # 3 unique jobs
+    ls, _ = srv.get_njobs("w", nbjobs=20)
+    assert len(ls) == 3 and srv.i == 3
+    ls, _ = srv.get_njobs("w", nbjobs=20)     # empty queue
+    assert ls == [] and srv.i == 3
+
+
+def test_active_client_lock_survives_cache_eviction(jobs_csv):
+    """At-most-once under eviction pressure: while client A's request is
+    still EXECUTING, other clients touching the (cap-bounded) lock map
+    must not evict A's lock — a fresh lock would let A's retry execute
+    concurrently with the original and lease a second batch."""
+    import json
+    import socket
+    import threading
+    import time
+
+    srv = JobServer(jobs_csv)
+    calls = []
+    orig = srv.get_njobs
+
+    def slow_get_njobs(msg, nbjobs=20):
+        calls.append(msg)
+        time.sleep(1.0)                      # hold the client lock
+        return orig(msg, nbjobs=nbjobs)
+
+    srv.get_njobs = slow_get_njobs
+    tcp, uri = srv.serve(host="127.0.0.1", port=0, cap=1)
+    try:
+        host, port = uri.split("//")[1].split(":")
+        addr = (host, int(port))
+        req = json.dumps({"method": "get_njobs", "args": ["A"],
+                          "kwargs": {"nbjobs": 1}, "client": "A",
+                          "id": 1}) + "\n"
+        replies = {}
+
+        def call(tag, line):
+            with socket.create_connection(addr) as s:
+                f = s.makefile("rw")
+                f.write(line)
+                f.flush()
+                replies[tag] = json.loads(f.readline())
+
+        t_orig = threading.Thread(target=call, args=("orig", req))
+        t_orig.start()
+        time.sleep(0.3)                      # A is mid-execution
+        # eviction pressure from another client (cap=1)
+        call("b", json.dumps({"method": "has_more_jobs", "client": "B",
+                              "id": 1}) + "\n")
+        # A's retry (lost-reply resend) while the original still runs
+        t_retry = threading.Thread(target=call, args=("retry", req))
+        t_retry.start()
+        t_orig.join(10)
+        t_retry.join(10)
+        assert replies["retry"] == replies["orig"]   # replayed
+        assert calls == ["A"], calls                 # executed ONCE
+    finally:
+        tcp.shutdown()
+        tcp.server_close()

@@ -408,3 +408,63 @@ def test_follow_backlog_reads_are_bounded(seg, tmp_path, monkeypatch):
     steps = np.diff([0] + fed)
     assert (steps <= max_batch).all() and len(fed) >= 2
     assert got == seg.segment_signal(sig)
+
+
+def test_follow_wav_ignores_trailing_metadata(seg, tmp_path):
+    """The normal recorder close sequence — back-patch the RIFF/data
+    sizes, then a tagger appends LIST/id3 chunks AFTER the data payload —
+    must not leak metadata bytes into the stream as int16 audio: the
+    finalized labels equal the offline read of the samples alone (the
+    offline `audio.wav.read_wav` reads exactly the declared data size)."""
+    import struct
+
+    from inaspeechsegmenter_tpu.audio import write_wav
+    from inaspeechsegmenter_tpu.online import follow_wav
+
+    sig = _broadcastish(16000 * 8, seed=21)
+    p = str(tmp_path / "tagged.wav")
+    write_wav(p, sig, 16000)                     # correct declared sizes
+    with open(p, "ab") as f:                     # tagger appends INFO junk
+        junk = b"\x7f\x01" * 4000                # loud if misread as PCM
+        f.write(b"LIST" + struct.pack("<I", len(junk) + 4) + b"INFO" + junk)
+    got = follow_wav(p, seg, idle_timeout=1.0, poll=0.05)
+    assert got == seg.segment_signal(sig)
+
+
+def test_follow_wav_metadata_after_growth(seg, tmp_path):
+    """Growth phase with bogus header sizes, then the close sequence
+    (size back-patch + trailing tag chunk) while follow is live."""
+    import struct
+    import threading
+    import time
+
+    from inaspeechsegmenter_tpu.online import follow_wav
+
+    sig = _broadcastish(16000 * 10, seed=22)
+    p = str(tmp_path / "grow_tag.wav")
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    header = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", 0xFFFFFFFF))
+
+    def run():
+        with open(p, "wb") as f:
+            f.write(header)
+            f.flush()
+            for pos in range(0, len(sig), 16000 * 2):
+                time.sleep(0.1)
+                f.write(sig[pos: pos + 16000 * 2].astype("<i2").tobytes())
+                f.flush()
+            # close sequence: patch data size, then append a tag chunk
+            f.seek(len(header) - 4)
+            f.write(struct.pack("<I", 2 * len(sig)))
+            f.seek(0, 2)
+            junk = b"\x7f\x01" * 2000
+            f.write(b"LIST" + struct.pack("<I", len(junk) + 4)
+                    + b"INFO" + junk)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    got = follow_wav(p, seg, idle_timeout=1.5, poll=0.05)
+    th.join(timeout=10)
+    assert got == seg.segment_signal(sig)

@@ -210,3 +210,25 @@ def test_engine_status_order_with_skips(seg, media_dir, tmp_path):
     assert [m[1] for m in msgs] == [0, 1, 2, 0]
     assert [m[0] for m in msgs] == outputs
     assert (tmp_path / "o1.csv").read_text() == "preexisting\n"
+
+
+def test_one_device_mesh_uses_fused_program(seg, media_dir):
+    """On a 1-device mesh there is nothing to shard: __call__ must route
+    to the plain fused program (shared with segment_many/batch_process)
+    instead of compiling a dedicated shard_map chunk program + streaming
+    tail that buys zero parallelism."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from inaspeechsegmenter_tpu.parallel import ParallelEngine
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    engine = ParallelEngine(seg, mesh=mesh)
+
+    def boom(*a, **k):
+        raise AssertionError("run_sharded dispatched on a 1-device mesh")
+
+    engine.seg.pipeline.run_sharded = boom
+    out = engine(f"{media_dir}/silence2sec.wav")
+    assert out == seg(f"{media_dir}/silence2sec.wav")
