@@ -65,18 +65,23 @@ def frame_count(n_samples: int) -> int:
 def group_shipped_bytes(sig_i16):
     """Link bytes the upload path ships for this int16 signal vs raw.
 
-    Mirrors `mspec_loge_chunks`'s group loop exactly — same chunk-bucket
-    padding, same per-ISS_UPLOAD_CHUNKS-group slices (lookahead included),
-    one `pack_best` accept/decline + page quantization per group — with no
-    device work.  Diagnostics (bench.py's ``upload_codec_byte_ratio``)
-    must report the bytes the measured run actually shipped, not a
-    whole-file packing the pipeline never performs.
+    Mirrors `mspec_loge_chunks`'s BATCH-path group loop exactly — same
+    chunk-bucket padding, same per-ISS_UPLOAD_CHUNKS-group slices
+    (lookahead included), one `pack_best` accept/decline + page
+    quantization per group — with no device work.  Diagnostics (bench.py's
+    ``upload_codec_byte_ratio``) must report the bytes the measured run
+    actually shipped, not a whole-file packing the pipeline never performs.
+
+    Scope: the ``keep_pcm`` (shared-PCM / VFS) path grows its chunk count
+    by one bucket rung when the signal outruns the feature window
+    (`mspec_loge_chunks`); this accounting does NOT model that growth, so
+    the ratio is exact for the batch-segmentation path and a close upper
+    bound (the growth chunks are near-all zeros, elided by the codec) for
+    the shared-PCM path.
 
     :return: ``(shipped_bytes, raw_bytes)`` — equal when the codec is
         disabled for this backend/dtype.
     """
-    from .codec import pack_best
-
     sig = np.ascontiguousarray(sig_i16, dtype=np.int16)
     n_chunks = max(1, -(-max(frame_count(len(sig)), 1) // CHUNK))
     need = (n_chunks * CHUNK + 2) * HOP

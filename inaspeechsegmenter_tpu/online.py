@@ -366,16 +366,31 @@ def _data_end(path, data_off, size):
     finalize() must agree with) reads exactly ``declared`` bytes.
     Growing files carry 0/0xFFFFFFFF/stale placeholders instead, which
     keep the EOF bound.  Re-read every poll: some writers back-patch
-    periodically, not just on close."""
+    periodically, not just on close.
+
+    A recorder may also write a small FIXED nonzero placeholder and only
+    back-patch on close; once the payload grows past it, trusting it
+    would stall live feeding at that bound until close.  Disambiguate by
+    looking at what follows the declared end: a genuine back-patch is
+    followed by nothing or by appended metadata chunks (LIST/INFO/id3 —
+    a printable 4CC), while a growing payload puts raw PCM there — then
+    the declared size is stale and the EOF bound applies until it
+    changes."""
     import struct
 
     try:
         with open(path, "rb") as f:
             f.seek(data_off - 4)
             declared = struct.unpack("<I", f.read(4))[0]
+            if declared in (0, 0xFFFFFFFF) or data_off + declared > size:
+                return size
+            end = data_off + declared + (declared & 1)   # word-aligned
+            if size >= end + 8:
+                f.seek(end)
+                fourcc = f.read(4)
+                if not all(0x20 <= b <= 0x7e for b in fourcc):
+                    return size          # raw samples, not a chunk id
     except (OSError, struct.error):
-        return size
-    if declared in (0, 0xFFFFFFFF) or data_off + declared > size:
         return size
     return data_off + declared
 

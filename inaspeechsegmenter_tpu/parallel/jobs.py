@@ -119,15 +119,22 @@ class JobServer:
         replay_lock = threading.Lock()
         replay = OrderedDict()       # client -> (last_id, last_response)
         client_locks = OrderedDict()  # client -> per-client execution lock
+        pending = {}                 # client -> requests between lookup and
+                                     # release: `lk.locked()` alone cannot
+                                     # protect a freshly-minted lock that
+                                     # its requester has not acquired YET —
+                                     # another handler's eviction pass could
+                                     # drop it and a concurrent retry would
+                                     # mint a second lock, double-leasing
 
         def _evict_idle(d, exclude=None):
-            # oldest-first, skipping `exclude` (the client being served:
-            # its lock may be freshly minted and not yet acquired) and
-            # clients whose lock is held (request in flight); if
-            # everything is active (fleet > cap), grow — correctness
-            # over the bound
+            # oldest-first, skipping `exclude` (the client being served),
+            # clients whose lock is held (request executing) and clients
+            # with a request in flight between lock lookup and release
+            # (`pending`); if everything is active (fleet > cap), grow —
+            # correctness over the bound
             for k in list(d):
-                if k == exclude:
+                if k == exclude or pending.get(k):
                     continue
                 lk = client_locks.get(k)
                 if lk is None or not lk.locked():
@@ -141,10 +148,19 @@ class JobServer:
                 if lk is None:
                     lk = client_locks[client] = threading.Lock()
                 client_locks.move_to_end(client)
+                pending[client] = pending.get(client, 0) + 1
                 while len(client_locks) > cap:
                     if not _evict_idle(client_locks, exclude=client):
                         break
                 return lk
+
+        def _release_client(client):
+            with replay_lock:
+                left = pending.get(client, 1) - 1
+                if left <= 0:
+                    pending.pop(client, None)
+                else:
+                    pending[client] = left
 
         def _execute(req):
             try:
@@ -176,25 +192,28 @@ class JobServer:
                         # while the original request is still executing
                         # blocks here and then hits the replay cache,
                         # instead of executing the method a second time
-                        with _client_lock(client):
-                            with replay_lock:
-                                last = replay.get(client)
-                                if last is not None:
-                                    replay.move_to_end(client)
-                            if last is not None and last[0] == req_id:
-                                payload = last[1]
-                            else:
-                                payload = _execute(req)
+                        try:
+                            with _client_lock(client):
                                 with replay_lock:
-                                    replay[client] = (req_id, payload)
-                                    replay.move_to_end(client)
-                                    while len(replay) > cap:
-                                        # never evict an in-flight
-                                        # client's entry: its blocked
-                                        # retry is about to need it
-                                        if not _evict_idle(
-                                                replay, exclude=client):
-                                            break
+                                    last = replay.get(client)
+                                    if last is not None:
+                                        replay.move_to_end(client)
+                                if last is not None and last[0] == req_id:
+                                    payload = last[1]
+                                else:
+                                    payload = _execute(req)
+                                    with replay_lock:
+                                        replay[client] = (req_id, payload)
+                                        replay.move_to_end(client)
+                                        while len(replay) > cap:
+                                            # never evict an in-flight
+                                            # client's entry: its blocked
+                                            # retry is about to need it
+                                            if not _evict_idle(
+                                                    replay, exclude=client):
+                                                break
+                        finally:
+                            _release_client(client)
                     else:
                         payload = _execute(req)
                     self.wfile.write(payload)

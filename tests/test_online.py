@@ -468,3 +468,55 @@ def test_follow_wav_metadata_after_growth(seg, tmp_path):
     got = follow_wav(p, seg, idle_timeout=1.5, poll=0.05)
     th.join(timeout=10)
     assert got == seg.segment_signal(sig)
+
+
+def test_follow_wav_fixed_placeholder_size(seg, tmp_path):
+    """A recorder that writes a small FIXED placeholder data size (not
+    0/0xFFFFFFFF) and only back-patches on close must not stall live
+    feeding at the placeholder bound: once the payload grows past it the
+    bytes there are raw PCM (no chunk id), so the EOF bound applies
+    (online._data_end).  After the close back-patch + tag append, the
+    finalized labels equal the offline read of the samples alone."""
+    import struct
+    import threading
+    import time
+
+    from inaspeechsegmenter_tpu.online import follow_wav
+
+    sig = _broadcastish(16000 * 10, seed=23)
+    placeholder = 16000  # 0.5 s of int16 — tiny vs the real payload
+    p = str(tmp_path / "placeholder.wav")
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    header = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", placeholder))
+
+    progressed = []
+
+    def run():
+        with open(p, "wb") as f:
+            f.write(header)
+            f.flush()
+            for pos in range(0, len(sig), 16000 * 2):
+                time.sleep(0.1)
+                f.write(sig[pos: pos + 16000 * 2].astype("<i2").tobytes())
+                f.flush()
+            # close: back-patch the true size, then a tagger appends
+            f.seek(len(header) - 4)
+            f.write(struct.pack("<I", 2 * len(sig)))
+            f.seek(0, 2)
+            junk = b"\x7f\x01" * 2000
+            f.write(b"LIST" + struct.pack("<I", len(junk) + 4)
+                    + b"INFO" + junk)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    got = follow_wav(p, seg, idle_timeout=1.5, poll=0.05,
+                     on_update=lambda o: progressed.append(
+                         (time.monotonic(), o._total)))
+    th.join(timeout=10)
+    assert got == seg.segment_signal(sig)
+    # live feeding progressed past the placeholder bound well BEFORE the
+    # close-time back-patch (~5 s in): the stream did not stall
+    early = [t for t, total in progressed if total > placeholder // 2]
+    assert early and early[0] < progressed[0][0] + 3.0
