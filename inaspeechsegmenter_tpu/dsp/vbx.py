@@ -33,6 +33,19 @@ NFFT = 512
 FEAT_DIM = 64
 SR = 16000
 
+# Blocked feature grid for the int16 device path (VbxPcmStream).  The CMVN
+# floating window reaches up to lc+rc+1 = 300 frames to either side of a
+# frame once the global clamps engage (the first frame's window is
+# [0, 300), the last frame's is [n-300, n)), so a block computed with a
+# 304-frame halo sees every sample any of its windows can touch.  BLK is a
+# latency/efficiency trade: ~82 s of audio per block keeps the per-block
+# matmuls MXU-sized while giving the overlapped VFS pipeline a fine enough
+# grain to hide x-vector work behind the upload stream.
+VBX_BLK = 8192          # frames owned per block
+VBX_HALO = 304          # context frames on each side (>= lc + rc + 1)
+_MARGIN = VBX_HALO * HOP    # left margin so block 0's halo slice stays >= 0
+_EXT = VBX_BLK + 2 * VBX_HALO   # frames materialized per block program
+
 
 def povey_window(winlen=WIN):
     return np.power(0.5 - 0.5 * np.cos(np.linspace(0, 2 * np.pi, winlen)), 0.85)
@@ -106,6 +119,99 @@ class VbxFrontend:
                              jnp.cumsum(x, axis=0)])
         return x - (f[ws + win_len] - f[ws]) / win_len
 
+    # ---- blocked int16 device path (VbxPcmStream) --------------------------
+    #
+    # The canonical int16 feature numerics: the dithered mirror-padded
+    # signal lives in one device buffer (assembled incrementally or in one
+    # go), and features are computed per fixed-grid VBX_BLK-frame block
+    # with a VBX_HALO-frame halo.  The CMVN window means use a cumsum LOCAL
+    # to the block's halo'd extent, so a frame's feature value depends only
+    # on the block grid — identical whether the file was processed whole
+    # (`features_from_pcm`, `_features_i16`) or streamed block-by-block as
+    # uploads land (the overlapped VFS pipeline, OnlineVFS).  That
+    # bit-equality is what lets the overlapped scorer reuse speculative
+    # x-vector embeddings in the exact final result.
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def _stream_append(self, buf, piece, dither_full, pos, n_limit):
+        """Write dithered f32 samples for ``piece`` (int16, x-coordinate
+        position ``pos``) into the seg-coordinate buffer.  Samples at or
+        past ``n_limit`` are forced to 0.0 (the canonical zero padding —
+        dither is only ever added to real samples)."""
+        d = jax.lax.dynamic_slice(dither_full, (pos,), (piece.shape[0],))
+        x = piece.astype(jnp.float32) + d
+        x = jnp.where(pos + jnp.arange(piece.shape[0]) < n_limit, x, 0.0)
+        return jax.lax.dynamic_update_slice(buf, x, (_MARGIN + 120 + pos,))
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def _stream_front_mirror(self, buf):
+        """seg[p] = x[119 - p] for p < 120 (vbx_segmenter.py:86), copied
+        from the already-written dithered values."""
+        front = jax.lax.dynamic_slice(buf, (_MARGIN + 120,), (120,))[::-1]
+        return jax.lax.dynamic_update_slice(buf, front, (_MARGIN,))
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def _stream_tail_mirror(self, buf, n):
+        """seg[120 + n + j] = x[n - 1 - j] for j < 200, traced n."""
+        tail = jax.lax.dynamic_slice(
+            buf, (_MARGIN + 120 + n - 200,), (200,))[::-1]
+        return jax.lax.dynamic_update_slice(buf, tail, (_MARGIN + 120 + n,))
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(5,))
+    def _block_features(self, buf, a_f, n_frames, win_len, fea_buf):
+        """Fbank + blocked CMVN for the block owning frames
+        [a_f, a_f + VBX_BLK); writes the rows into ``fea_buf``.
+
+        Gather-free CMVN: the window start ``ws = clip(i - lc, 0,
+        n_frames - win_len)`` takes one of three forms — the unclamped
+        interior (two STATIC slices of the local cumsum), the start clamp
+        (ws = 0, one value for every clamped row) and the end clamp
+        (ws = n_frames - win_len, one value) — selected per row.
+        """
+        seg = jax.lax.dynamic_slice(
+            buf, (_MARGIN + (a_f - VBX_HALO) * HOP,), ((_EXT + 2) * HOP,))
+        s2 = seg.reshape(_EXT + 2, HOP)
+        frames = jnp.concatenate(
+            [s2[0:_EXT], s2[1:_EXT + 1], s2[2:_EXT + 2, : WIN - 2 * HOP]],
+            axis=1)
+        frames = frames - jnp.mean(frames, axis=1, keepdims=True)
+        shifted = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+        frames = frames - 0.97 * shifted
+        fw = frames * self.window
+        hp = jax.lax.Precision.HIGHEST
+        re = jnp.dot(fw, self.dcos, precision=hp)
+        im = jnp.dot(fw, self.dsin, precision=hp)
+        spec = re * re + im * im
+        fea = jnp.log(jnp.maximum(1.0, jnp.dot(spec, self.fbank,
+                                               precision=hp)))
+        g_idx = a_f - VBX_HALO + jnp.arange(_EXT)
+        fea = jnp.where(((g_idx >= 0) & (g_idx < n_frames))[:, None],
+                        fea, 0.0)
+        f = jnp.concatenate([jnp.zeros((1, FEAT_DIM), fea.dtype),
+                             jnp.cumsum(fea, axis=0)])    # (_EXT + 1, 64)
+        i_g = a_f + jnp.arange(VBX_BLK)
+        # interior: ws = i - lc -> local i_l - lc, window [i-lc, i+rc+1)
+        sum_int = (f[VBX_HALO + self.rc + 1: VBX_HALO + self.rc + 1 + VBX_BLK]
+                   - f[VBX_HALO - self.lc: VBX_HALO - self.lc + VBX_BLK])
+        # start clamp: ws = 0 (only reachable while a_f - HALO <= 0)
+        lo = jnp.clip(VBX_HALO - a_f, 0, _EXT)
+        sum_start = (jax.lax.dynamic_slice(f, (lo + win_len, 0),
+                                           (1, FEAT_DIM))
+                     - jax.lax.dynamic_slice(f, (lo, 0), (1, FEAT_DIM)))
+        # end clamp: ws = n_frames - win_len
+        we = jnp.clip(n_frames - win_len - (a_f - VBX_HALO), 0, _EXT)
+        sum_end = (jax.lax.dynamic_slice(f, (we + win_len, 0),
+                                         (1, FEAT_DIM))
+                   - jax.lax.dynamic_slice(f, (we, 0), (1, FEAT_DIM)))
+        start_m = (i_g - self.lc < 0)[:, None]
+        int_m = ((i_g - self.lc >= 0)
+                 & (i_g - self.lc <= n_frames - win_len))[:, None]
+        sums = jnp.where(start_m, sum_start,
+                         jnp.where(int_m, sum_int, sum_end))
+        out = (fea[VBX_HALO: VBX_HALO + VBX_BLK]
+               - sums / win_len.astype(jnp.float32))
+        return jax.lax.dynamic_update_slice(fea_buf, out, (a_f, 0))
+
     # ---- int16 upload path -----------------------------------------------
     def _dither_buffer(self, n):
         """Device-resident dither prefix, grown on demand.
@@ -144,90 +250,71 @@ class VbxFrontend:
             # op keyed on the rare (buffer_len, n) pairs)
             return self._dither_dev[:n]
 
-    def _seg_from_i16(self, sig_i16, dither, n_sig):
-        """Traced: dither + mirror-pad the int16 signal on device,
-        reproducing preprocess_signal up to f32 rounding (the reference
-        adds the f64 dither before the final f32 cast; adding the
-        f32-rounded dither to the exact f32 integer signal differs by
-        <= 1 ulp of the sample value — bounded in tests/test_vbx_features.py).
-        """
-        s = sig_i16.shape[0]
-        x = sig_i16.astype(jnp.float32) + dither[:s]
-        x = jnp.where(jnp.arange(s) < n_sig, x, 0.0)
-        front = x[:120][::-1]
-        seg = jnp.concatenate([front, x])[:s]
-        tail = jax.lax.dynamic_slice(x, (n_sig - 200,), (200,))[::-1]
-        return jax.lax.dynamic_update_slice(seg, tail, (120 + n_sig,))
-
-    @partial(jax.jit, static_argnames=("self",))
-    def _fbank_cmvn_i16(self, sig_i16, dither, n_sig, n_frames):
-        seg = self._seg_from_i16(sig_i16, dither, n_sig)
-        return self._fbank_cmvn_padded(seg, n_frames)
+    def _dither_full(self, n):
+        """Grow-and-return the WHOLE device dither buffer (>= n samples).
+        The stream append program dynamic-slices it at traced positions, so
+        callers grow it once up front — the buffer shape is part of the
+        program's jit key."""
+        self._dither_buffer(n)
+        with self._dither_lock:
+            return self._dither_dev
 
     @partial(jax.jit, static_argnames=("self", "nb"))
-    def _fbank_cmvn_i16_packed(self, buf, dither, n_sig, n_frames, nb):
-        sig = unpack_zero_elide(buf, nb)
-        seg = self._seg_from_i16(sig, dither, n_sig)
-        return self._fbank_cmvn_padded(seg, n_frames)
+    def _unpack_elide_i16(self, buf, nb):
+        return unpack_zero_elide(buf, nb)
 
     @partial(jax.jit, static_argnames=("self", "nb"))
-    def _fbank_cmvn_i16_bits(self, buf, dither, n_sig, n_frames, nb):
-        sig = unpack_bits(buf, nb)
-        seg = self._seg_from_i16(sig, dither, n_sig)
-        return self._fbank_cmvn_padded(seg, n_frames)
+    def _unpack_bits_i16(self, buf, nb):
+        return unpack_bits(buf, nb)
 
     def _features_i16(self, sig_i16, n):
-        """int16 device path: (n,) int16 exact samples -> (T, 64) fea."""
+        """int16 device path: (n,) int16 exact samples -> (T, 64) fea.
+
+        Upload (codec-packed, unpacked bit-exactly on device) then the
+        blocked-grid feature computation (`VbxPcmStream`) — numerically
+        identical to the shared-PCM and overlapped paths by construction.
+        """
         n_frames = (n - 80) // HOP + 1
         t_bucket = -(-n_frames // 1024) * 1024
         s = (t_bucket + 2) * HOP + 2 * BLOCK     # mirror-tail headroom
         sig = np.zeros(s, np.int16)
         sig[:n] = sig_i16
-        dither = self._dither_buffer(s)
         packed = pack_best(sig) if _upload_codec_enabled() else None
-        piece = 2 << 20                          # 4 MB of int16 per transfer
         if packed is not None and packed[0] == "bits":
-            buf = _upload_pieces(packed[1], 4 << 20)   # uint8 pieces
-            fea = self._fbank_cmvn_i16_bits(buf, dither, jnp.int32(n),
-                                            jnp.int32(n_frames),
-                                            s // BLOCK)
+            pcm = self._unpack_bits_i16(
+                _upload_pieces(packed[1], 4 << 20), s // BLOCK)
         elif packed is not None:
-            buf = _upload_pieces(packed[1], piece)
-            fea = self._fbank_cmvn_i16_packed(buf, dither, jnp.int32(n),
-                                              jnp.int32(n_frames),
-                                              s // BLOCK)
+            pcm = self._unpack_elide_i16(
+                _upload_pieces(packed[1], 2 << 20), s // BLOCK)
         else:
-            fea = self._fbank_cmvn_i16(_upload_pieces(sig, piece), dither,
-                                       jnp.int32(n), jnp.int32(n_frames))
-        return fea[:n_frames]
+            pcm = _upload_pieces(sig, 2 << 20)
+        stream = VbxPcmStream(self, n)
+        stream.append(pcm)
+        return stream.finish()
 
     def features_from_pcm(self, pcm_parts, n):
         """x-vector features from device-resident int16 PCM upload buffers
         (the sidekit frontend's `keep_pcm` groups) — zero additional link
         bytes: VoiceFemininityScoring's VAD pass already shipped the
-        samples.
+        samples.  Runs the same per-block programs as the incremental
+        `VbxPcmStream` path, so the two are bit-identical.
 
         :param pcm_parts: [(len_g,) int16 device arrays], each covering its
             upload group's samples plus a 2*HOP lookahead (the groups
             overlap by that lookahead).
         :param n: true sample count of the signal.
         """
-
-        n_frames = (n - 80) // HOP + 1
-        t_bucket = -(-n_frames // 1024) * 1024
-        s = (t_bucket + 2) * HOP + 2 * BLOCK
-        # strip each group's 2*HOP lookahead except the last's, then pad
+        stream = VbxPcmStream(self, n)
+        # strip each group's 2*HOP lookahead except the last's
         pieces = [p[:p.shape[0] - 2 * HOP] for p in pcm_parts[:-1]]
         pieces.append(pcm_parts[-1])
-        have = sum(int(p.shape[0]) for p in pieces)
-        if have < s:
-            pieces.append(jnp.zeros(s - have, jnp.int16))
-        sig_dev = jnp.concatenate(pieces)[:s]
-        # zero anything past n (codec padding / sidekit chunk padding)
-        dither = self._dither_buffer(s)
-        fea = self._fbank_cmvn_i16(sig_dev, dither, jnp.int32(n),
-                                   jnp.int32(n_frames))
-        return fea[:n_frames]
+        for p in pieces:
+            stream.append(p)
+        if stream._pos < n:
+            # defensive: callers guarantee coverage (the keep_pcm bucket
+            # growth); zeros here would only ever pad codec slack
+            stream.append(np.zeros(n - stream._pos, np.int16))
+        return stream.finish()
 
     def features(self, signal):
         """Reference-compatible entry: float64 signal -> (T, 64) float32.
@@ -260,6 +347,114 @@ class VbxFrontend:
 
     def __eq__(self, other):
         return self is other
+
+
+class VbxPcmStream:
+    """Incremental blocked VBx features from int16 PCM pieces.
+
+    Owns the device seg buffer (dithered, mirror-padded, f32) and the
+    (nb*VBX_BLK, 64) feature buffer, both assembled by donated in-place
+    updates.  `append` consumes exact int16 samples in order (device or
+    host arrays) and runs every feature block whose halo'd extent is now
+    final; `fea_buffer` hands the growing feature array to the x-vector
+    gather path.  Values are bit-identical however the same signal is
+    sliced into appends (the block grid is fixed), which is what the
+    overlapped VFS scorer's exactness rests on.
+
+    :param fe: the shared `VbxFrontend` (compiled programs + dither cache).
+    :param n_samples: true sample count of the signal (known up front for
+        offline use; an online caller may pass its best upper bound and
+        `reserve` a larger one later... the offline scorers always know).
+    """
+
+    def __init__(self, fe, n_samples):
+        self.fe = fe
+        self.n = int(n_samples)
+        assert self.n >= 400, "VbxPcmStream needs one full analysis window"
+        self.n_frames = (self.n - 80) // HOP + 1
+        self.nb = max(1, -(-self.n_frames // VBX_BLK))
+        # buffer end covers the last block's slice [(a_f-H)*HOP,
+        # +(_EXT+2)*HOP) and the mirror tail at 120+n+200
+        s_b = max(_MARGIN + ((self.nb - 1) * VBX_BLK - VBX_HALO) * HOP
+                  + (_EXT + 2) * HOP,
+                  _MARGIN + 120 + self.n + 200)
+        import jax.numpy as _jnp
+
+        self._buf = _jnp.zeros(s_b, _jnp.float32)
+        self._fea = _jnp.zeros((self.nb * VBX_BLK, FEAT_DIM), _jnp.float32)
+        # appends past this x-position would make the buffer/dither
+        # dynamic-slices clamp their start index (silent data corruption);
+        # samples there are upload padding and are dropped instead
+        self._cap = s_b - _MARGIN - 120
+        # one up-front dither growth: per-append growth would recompile
+        # the append program on every new buffer shape
+        self._dither = fe._dither_full(self._cap)
+        self._pos = 0
+        self._blocks_done = 0
+        self._front_done = False
+        self._tail_done = False
+
+    def append(self, piece):
+        """Consume the next samples (int16, device or host array).  Samples
+        past ``n_samples`` (upload padding) are zeroed, matching the
+        canonical padded-signal semantics."""
+        import jax.numpy as _jnp
+
+        ln = min(int(piece.shape[0]), self._cap - self._pos)
+        if ln <= 0:
+            return
+        piece = piece[:ln]
+        if not isinstance(piece, jax.Array):
+            piece = _upload_pieces(np.ascontiguousarray(piece, np.int16),
+                                   2 << 20)
+        self._buf = self.fe._stream_append(self._buf, piece, self._dither,
+                                           _jnp.int32(self._pos),
+                                           _jnp.int32(self.n))
+        self._pos += ln
+        if not self._front_done and self._pos >= 120:
+            self._buf = self.fe._stream_front_mirror(self._buf)
+            self._front_done = True
+        if not self._tail_done and self._pos >= self.n:
+            self._buf = self.fe._stream_tail_mirror(self._buf,
+                                                    _jnp.int32(self.n))
+            self._tail_done = True
+        self._run_ready_blocks()
+
+    def _run_ready_blocks(self):
+        import jax.numpy as _jnp
+
+        win_len = min(self.n_frames, self.fe.lc + self.fe.rc + 1)
+        while self._blocks_done < self.nb:
+            b = self._blocks_done
+            # the block's halo'd slice must be final: either every sample
+            # it can read is written, or the whole signal (incl. the
+            # mirror tail) is
+            slice_end_seg = ((b + 1) * VBX_BLK + VBX_HALO + 2) * HOP
+            if not (self._tail_done or 120 + self._pos >= slice_end_seg):
+                return
+            if not self._front_done:
+                return
+            self._fea = self.fe._block_features(
+                self._buf, _jnp.int32(b * VBX_BLK),
+                _jnp.int32(self.n_frames), _jnp.int32(win_len), self._fea)
+            self._blocks_done += 1
+
+    @property
+    def frames_ready(self):
+        """Feature frames finalized so far."""
+        return min(self._blocks_done * VBX_BLK, self.n_frames)
+
+    @property
+    def fea_buffer(self):
+        """The (nb*VBX_BLK, 64) device feature buffer — rows past
+        `frames_ready` are not yet valid."""
+        return self._fea
+
+    def finish(self):
+        """All samples appended -> the complete (n_frames, 64) features."""
+        assert self._pos >= self.n and self._blocks_done == self.nb, \
+            (self._pos, self.n, self._blocks_done, self.nb)
+        return self._fea[: self.n_frames]
 
 
 def vbx_i16_enabled():
