@@ -247,13 +247,35 @@ class SidekitFrontend:
         streaming consumer.  Per-chunk feature arrays are sliced out on
         device (HBM-local, free relative to the link).
         """
+        outs = []
+        pcm_parts = []
+        shared = False
+        for chunks_g, pcm in self.iter_group_feats(sig, pad_frames_to,
+                                                   keep_pcm):
+            outs.extend(chunks_g)
+            if pcm is not None:
+                shared = True
+                pcm_parts.append(pcm)
+        t = frame_count(len(sig))
+        if keep_pcm:
+            return outs, t, (pcm_parts if shared else None)
+        return outs, t
+
+    def iter_group_feats(self, sig, pad_frames_to: int | None = None,
+                         keep_pcm: bool = False):
+        """Generator over upload groups: yields ``(chunks_g, pcm_part)``
+        per group, dispatching that group's upload + feature programs
+        first — the body of `mspec_loge_chunks`, exposed so interleaved
+        consumers (the overlapped VFS scorer) can schedule their own
+        device work between groups while later uploads are still in
+        flight.  ``pcm_part`` is None unless ``keep_pcm`` and the signal
+        is int16."""
         keep = np.int16 if np.asarray(sig).dtype == np.int16 else np.float32
         sig = np.ascontiguousarray(sig, dtype=keep)
         t = frame_count(len(sig))
         want = t if pad_frames_to is None else max(t, pad_frames_to)
         n_chunks = max(1, -(-want // CHUNK))
         need = (n_chunks * CHUNK + 2) * HOP
-        want_pcm = keep_pcm
         keep_pcm = keep_pcm and keep is np.int16   # float sources: no share
         if keep_pcm and len(sig) > need:
             # the PCM consumer (the VBx frontend's mirror tail) reads the
@@ -276,19 +298,12 @@ class SidekitFrontend:
             sig = sig[:need]
         group = max(1, int(os.environ.get("ISS_UPLOAD_CHUNKS", "3")))
         codec = _upload_codec_enabled() and keep is np.int16
-        outs = []
-        pcm_parts = []
         for g in range(0, n_chunks, group):
             k = min(group, n_chunks - g)
             raw = sig[g * CHUNK * HOP: ((g + k) * CHUNK + 2) * HOP]
             chunks_g, pcm = self.group_feats(raw, k, keep_pcm=keep_pcm,
                                              codec=codec)
-            if keep_pcm:
-                pcm_parts.append(pcm)
-            outs.extend(chunks_g)
-        if want_pcm:
-            return outs, t, (pcm_parts if keep_pcm else None)
-        return outs, t
+            yield chunks_g, pcm
 
     def mspec_loge(self, sig, pad_frames_to: int | None = None):
         """Compute (mspec, loge, n_frames) for a 1-D float signal.

@@ -51,6 +51,28 @@ from .annotations import SpeechTimeline
 from .dsp.sidekit import CHUNK, HOP, frame_count
 from .pipeline import bucket_rows
 
+_LOG_ZERO = float(np.log(1e-200))
+
+
+def _loge_stats(loge_c):
+    """(finite sum, finite count) of one chunk's log-energies — the
+    committed-prefix contribution to the suffix decode's global energy
+    threshold.  Jitted lazily (module import must not touch the device)."""
+    global _loge_stats_jit
+    try:
+        return _loge_stats_jit(loge_c)
+    except NameError:
+        import jax
+        import jax.numpy as jnp
+
+        def stats(lg):
+            fin = jnp.isfinite(lg)
+            return (jnp.sum(jnp.where(fin, lg, 0.0)),
+                    jnp.sum(fin.astype(jnp.float32)))
+
+        _loge_stats_jit = jax.jit(stats)
+        return _loge_stats_jit(loge_c)
+
 
 class OnlineSegmenter:
     """Incremental counterpart of `Segmenter.segment_signal`.
@@ -59,6 +81,21 @@ class OnlineSegmenter:
         compiled program caches are shared).
     :param start_sec: label offset in seconds, like the offline APIs.
     """
+
+    # Committed-prefix decode bounds: a chunk boundary commits when the
+    # labels COMMIT_RUN 20 ms frames to each side are all noEnergy — the
+    # energy Viterbi's state there is pinned by ~96 consecutive 10 ms
+    # frames of agreeing near-certain emissions (each worth ~23 nats vs a
+    # 345-nat transition), and the VAD/gender Viterbi levels reset at
+    # every energy boundary, so no decoding segment crosses the seam.
+    # COMMIT_GUARD chunks stay uncommitted behind the frontier (their
+    # emissions/threshold are still moving); if no silence boundary shows
+    # up for COMMIT_MAXBACK chunks (~11 min of unbroken audio), the
+    # decode force-commits at that horizon — current() is PROVISIONAL by
+    # contract, and finalize() always re-decodes the full stream exactly.
+    COMMIT_RUN = 48
+    COMMIT_GUARD = 1
+    COMMIT_MAXBACK = 16
 
     def __init__(self, segmenter, start_sec=0):
         self.seg = segmenter
@@ -81,6 +118,11 @@ class OnlineSegmenter:
         self._prov = None           # (mel_count, vad, gender) cache
         self._cur = None            # (decode inputs key, lseg) cache
         self._finalized = None
+        self._commit = 0            # chunks whose labels are frozen
+        self._commit_act = False    # energy activity at the seam
+        self._committed_ids = np.zeros(0, np.int32)
+        self._stat_handles = []     # per-chunk (sum, cnt) device scalars
+        self._ext_stats = (0.0, 0.0)   # accumulated committed loge stats
 
     @property
     def seconds_fed(self):
@@ -166,6 +208,13 @@ class OnlineSegmenter:
             raw[:len(avail)] = avail
             chunks_g, _ = self.seg.frontend.group_feats(raw, k)
             self._mels.extend(chunks_g)
+            for mc, lc in chunks_g:
+                # threshold stats for the committed-prefix decode,
+                # D2H-prefetched so the eventual host read is free
+                s, cnt = _loge_stats(lc)
+                s.copy_to_host_async()
+                cnt.copy_to_host_async()
+                self._stat_handles.append((s, cnt))
             for c in range(max(g, 1), g + k):
                 self._final_probs(c - 1)      # c-1's right halo now exists
             # drop raw samples the next groups will never read — but only
@@ -253,13 +302,77 @@ class OnlineSegmenter:
                     self._materialize(), self.start_sec))
             return list(self._cur[1])
         n = min(frame_count(self._total), m * CHUNK)
-        key = (m, n, self._spec_gender)
+        key = (m, n, self._spec_gender, self._commit)
         if self._cur is None or self._cur[0] != key:
-            probs = [self._chunk_probs(c) for c in range(m - 1)]
-            probs.append(self._chunk_probs(m - 1, zero_right=True))
-            self._cur = (key, self.seg.ids_to_lseg(
-                self._decode(self._mels, probs, n), self.start_sec))
+            ids = self._decode_provisional(n)
+            lseg = self.seg.ids_to_lseg(ids, self.start_sec)
+            self._advance_commit(ids, m)
+            # re-key on the ADVANCED commit: the labels are unchanged by
+            # committing, and a stale key would force the very next poll
+            # to re-decode for nothing
+            self._cur = ((m, n, self._spec_gender, self._commit), lseg)
         return list(self._cur[1])
+
+    def _decode_provisional(self, n_frames):
+        """Labels over everything fed: frozen committed prefix + a decode
+        of ONLY the uncommitted suffix chunks — O(suffix), flat in stream
+        length (the round-3 whole-timeline re-decode cost ~8 ms per
+        backlog minute, unbounded for live monitoring)."""
+        m = len(self._mels)
+        c0 = self._commit
+        probs = [self._chunk_probs(c) for c in range(c0, m - 1)]
+        probs.append(self._chunk_probs(m - 1, zero_right=True))
+        if c0 == 0:
+            return self._decode(self._mels, probs, n_frames)
+        pv = [v for v, _ in probs]
+        pg = [g for _, g in probs] if self._spec_gender else None
+        if pg is not None and any(g is None for g in pg):
+            pg = None
+        n_suf = n_frames - c0 * CHUNK
+        n20s = (n_suf + 1) // 2
+        # seam: a near-one-hot energy init at the committed state; the
+        # committed loge stats keep the threshold global
+        e_init = np.full(2, _LOG_ZERO, np.float32)
+        e_init[1 if self._commit_act else 0] = 0.0
+        ext = (self._ext_stats[0], self._ext_stats[1], e_init)
+        ids_s = self.seg.pipeline.stream_decode(
+            self.seg.vad.model.params,
+            self.seg.gender.model.params if self.seg.detect_gender else None,
+            self._mels[c0:], pv, pg, n_suf, n_suf, n20s, ext=ext)
+        return np.concatenate([self._committed_ids,
+                               np.asarray(ids_s)[:n20s]])
+
+    def _advance_commit(self, ids, m):
+        """Freeze the label prefix up to the newest committable chunk
+        boundary (see COMMIT_* above) and fold the frozen chunks' loge
+        stats into the suffix threshold."""
+        n20 = len(ids)
+        c20 = CHUNK // 2
+        best = None
+        for b in range(m - self.COMMIT_GUARD, self._commit, -1):
+            f = b * c20
+            if f - self.COMMIT_RUN < 0 or f + self.COMMIT_RUN > n20:
+                continue
+            if not ids[f - self.COMMIT_RUN: f + self.COMMIT_RUN].any():
+                best = (b, False)
+                break
+        if best is None and m - self._commit > self.COMMIT_MAXBACK:
+            b = m - self.COMMIT_MAXBACK
+            f = b * c20
+            if 0 < f <= n20:
+                best = (b, bool(ids[min(f, n20 - 1)] != 0))
+        if best is None:
+            return
+        b, act = best
+        s, cnt = self._ext_stats
+        for c in range(self._commit, b):
+            hs, hc = self._stat_handles[c]
+            s += float(hs)
+            cnt += float(hc)
+        self._ext_stats = (s, cnt)
+        self._committed_ids = np.array(ids[: b * c20], np.int32, copy=True)
+        self._commit = b
+        self._commit_act = act
 
     def finalize(self):
         """Flush the stream and return the EXACT offline labels — equal to

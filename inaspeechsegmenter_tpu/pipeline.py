@@ -97,11 +97,18 @@ class FusedPipeline:
 
     # -- helpers (all traced) ----------------------------------------------
 
-    def _energy_states20(self, loge_pad, n_frames):
+    def _energy_states20(self, loge_pad, n_frames, ext=None):
+        """20 ms energy activity.  ``ext`` (suffix decodes only): a
+        ``(sum, cnt, e_init)`` triple — finite-log-energy statistics of
+        the frames LEFT of this window (so the threshold stays the global
+        mean) and the energy-Viterbi initial distribution at the window's
+        first frame (a near-one-hot of the committed seam state)."""
         valid = jnp.arange(loge_pad.shape[0]) < n_frames
         finite = jnp.isfinite(loge_pad) & valid
-        cnt = jnp.maximum(jnp.sum(finite), 1)
-        mean = jnp.sum(jnp.where(finite, loge_pad, 0.0)) / cnt
+        ext_sum, ext_cnt, e_init = (ext if ext is not None
+                                    else (0.0, 0.0, self.e_init))
+        cnt = jnp.maximum(jnp.sum(finite) + ext_cnt, 1)
+        mean = (jnp.sum(jnp.where(finite, loge_pad, 0.0)) + ext_sum) / cnt
         thr = mean + jnp.log(self.energy_ratio)
         act = loge_pad > thr
         em = jnp.stack([
@@ -110,7 +117,7 @@ class FusedPipeline:
         ], axis=1)
         reset = jnp.zeros(loge_pad.shape[0], bool)
         reset = reset.at[0].set(True).at[n_frames].set(True, mode="drop")
-        states = self._viterbi(em, self.e_trans, self.e_init, reset)
+        states = self._viterbi(em, self.e_trans, e_init, reset)
         return states[::2] == 1  # 20 ms energy activity
 
     def _cnn_probs(self, forward, params, mspec_pad, n_frames_patch, nmel,
@@ -269,12 +276,14 @@ class FusedPipeline:
         return jnp.where(over[:, None], p_last[None, :], probs)
 
     def _tail_impl(self, vad_params, g_params, mspec_pad, loge_pad, probs_v,
-                   n_frames, n_frames_patch, n20, probs_g=None):
+                   n_frames, n_frames_patch, n20, probs_g=None, ext=None):
         """Streaming tail.  If gender emissions were streamed speculatively
         they arrive as `probs_g` (needing only the right-edge repair);
         otherwise (None — a distinct jit cache entry) the gender CNN runs
-        here on the decoded speech mask."""
-        energy20 = self._energy_states20(loge_pad, n_frames)
+        here on the decoded speech mask.  ``ext`` turns this into a SUFFIX
+        decode (see `_energy_states20`): the online family decodes only
+        the uncommitted tail of a long stream through it."""
+        energy20 = self._energy_states20(loge_pad, n_frames, ext)
         probs_v = self._fix_right_edge(self.vad_forward, vad_params,
                                        mspec_pad, probs_v, n_frames_patch,
                                        self.vad_nmel)
@@ -367,7 +376,7 @@ class FusedPipeline:
                                   n_frames, n_frames_patch, n20)
 
     def stream_decode(self, vad_params, g_params, chunks, probs_v_list,
-                      probs_g_list, n_frames, n_frames_patch, n20):
+                      probs_g_list, n_frames, n_frames_patch, n20, ext=None):
         """Assemble per-chunk features + emissions and run the streaming
         tail program.  ONE owner of the tail argument construction, shared
         by run_streaming and the OnlineSegmenter (whose finalize()
@@ -398,10 +407,13 @@ class FusedPipeline:
                 probs_g_list.append(jnp.full(
                     (pad * rows // 2, probs_g_list[0].shape[1]), 0.5))
             probs_g = jnp.concatenate(probs_g_list)
+        if ext is not None:
+            ext = (jnp.float32(ext[0]), jnp.float32(ext[1]),
+                   jnp.asarray(ext[2], jnp.float32))
         return self._jit_tail(vad_params, g_params, mspec_pad, loge_pad,
                               probs_v, jnp.int32(n_frames),
                               jnp.int32(n_frames_patch), jnp.int32(n20),
-                              probs_g)
+                              probs_g, ext)
 
     # -- sequence-parallel single-file path ---------------------------------
     #

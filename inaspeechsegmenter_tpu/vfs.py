@@ -162,6 +162,20 @@ class JaxResnetExtractor:
                                jnp.asarray([length], jnp.int32))
         return np.asarray(out)[0]
 
+    def dispatch_windows(self, fea_dev, starts):
+        """Gather + ResNet-forward ONE sub-batch of full windows; returns
+        the (len(starts), 256) device output with NO host sync — the
+        overlapped scorer's speculative unit.  Callers pass exactly
+        `_xvec_layout()[0]` starts so every dispatch reuses the one
+        compiled full-sub-batch program; per-window values are identical
+        to `embeddings_from_features` (eval-mode BN, per-sample pooling:
+        batch composition cannot change a window's embedding)."""
+        idx = (jnp.asarray(np.asarray(starts, np.int32))[:, None]
+               + jnp.arange(WINLEN)[None, :])
+        wins = jnp.transpose(fea_dev[idx], (0, 2, 1))
+        fwd = self._sharded_fwd if self._sharded_fwd is not None else self.net
+        return fwd(self.params, wins)
+
     def get_embeddings_batch(self, windows):
         """(B, 64, T) stacked windows (host or device) -> (B, 256) np.
 
@@ -287,6 +301,99 @@ class JaxResnetExtractor:
                 else:
                     xvectors.append((key, tail_seg, emb))
         return [(key, seg, x * 10) for key, seg, x in xvectors]
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("pipe",))
+def _prov_step(pipe, s, cnt, probs_v, loge_c, energy_ratio):
+    """One provisional-VAD step for the overlapped scorer: fold chunk c's
+    finite log-energies into the running global stats and decode a
+    CHUNK-LOCAL 20 ms speech mask with the real pipeline machinery
+    (energy Viterbi under the RUNNING threshold, then the masked VAD
+    Viterbi) — restricted to this chunk's frames, so it costs O(chunk)
+    regardless of backlog, entirely ON DEVICE (host numpy is starved by
+    the runtime's busy-wait threads on small hosts — a host-side
+    threshold pass measured +0.6 s on the 1-core bench host).  Heuristic
+    only (chunk-edge Viterbi mixing and running-threshold drift can
+    disagree with the global decode — measured ~2% of windows on the
+    bench mix): it chooses which windows to embed early; the exact
+    decoded timeline makes the final call."""
+    from .pipeline import EPS, _shift_right
+
+    fin = jnp.isfinite(loge_c)
+    s = s + jnp.sum(jnp.where(fin, loge_c, 0.0))
+    cnt = cnt + jnp.sum(fin.astype(jnp.float32))
+    thr = s / jnp.maximum(cnt, 1.0) + jnp.log(energy_ratio)
+    act = loge_c > thr
+    em = jnp.stack([
+        jnp.where(act, np.float32(np.log(EPS)), np.float32(np.log(1 - EPS))),
+        jnp.where(act, np.float32(np.log(1 - EPS)), np.float32(np.log(EPS))),
+    ], axis=1)
+    reset = jnp.zeros(loge_c.shape[0], bool).at[0].set(True)
+    energy20 = pipe._viterbi(em, pipe.e_trans, pipe.e_init, reset)[::2] == 1
+    emv = jnp.where(energy20[:, None], jnp.log(probs_v), 0.0)
+    resetv = (energy20 != _shift_right(energy20)).at[0].set(True)
+    v_states = pipe._viterbi(emv, pipe.v_trans, pipe.v_init, resetv)
+    return s, cnt, energy20 & (v_states == 0)
+
+
+class _EmbedSession:
+    """Speculative x-vector dispatch bookkeeping for the overlapped scorer.
+
+    Windows queue as their provisional verdicts arrive; every full
+    `ISS_XVEC_BATCH` sub-batch is dispatched immediately (device output
+    kept, NO host sync — the ResNet executes behind the remaining upload
+    stream).  `collect` materializes everything once and embeds whatever
+    the speculation missed in one exact catch-up batch."""
+
+    def __init__(self, xm):
+        self.xm = xm
+        self.sub, self.buckets = xm._xvec_layout()
+        self.pending = []
+        self.batches = []           # (real_starts, device_out)
+
+    def queue(self, start, fea_dev):
+        self.pending.append(start)
+        if len(self.pending) >= self.sub:
+            batch = self.pending[: self.sub]
+            self.pending = self.pending[self.sub:]
+            out = self.xm.dispatch_windows(fea_dev, batch)
+            out.copy_to_host_async()    # D2H rides behind the compute
+            self.batches.append((batch, out))
+
+    def flush(self, fea_dev):
+        """Dispatch the ragged remainder, padded to a layout bucket (the
+        pad windows are discarded at collect)."""
+        if self.pending:
+            k = len(self.pending)
+            bucket = next(x for x in self.buckets if x >= k)
+            batch = self.pending + [0] * (bucket - k)
+            out = self.xm.dispatch_windows(fea_dev, batch)
+            out.copy_to_host_async()
+            self.batches.append((self.pending, out))
+            self.pending = []
+
+    def collect(self, fea, needed_starts):
+        """-> {start: (256,) np embedding} for every needed window —
+        speculative results plus one catch-up batch for the misses."""
+        done = {}
+        for batch, out in self.batches:
+            arr = np.asarray(out)
+            for j, s in enumerate(batch):
+                done[s] = arr[j]
+        missing = [s for s in needed_starts if s not in done]
+        if missing:
+            embs = self.xm.embeddings_from_features(
+                fea, np.asarray(missing, np.int32))
+            for s, e in zip(missing, embs):
+                done[s] = e
+        return done
+
+    @property
+    def n_speculative(self):
+        return sum(len(b) for b, _ in self.batches) + len(self.pending)
 
 
 class VoiceFemininityScoring:
@@ -420,6 +527,9 @@ class VoiceFemininityScoring:
             raise TypeError(
                 "score_signal needs the standard Segmenter VAD (an injected "
                 "path-based VAD callable cannot consume a signal)")
+        sig = np.asarray(sig)
+        if self._overlap_eligible() and self._overlap_eligible_signal(sig):
+            return self._score_signal_overlapped(sig, basename)
         return self._score_prepared(self._prepare_signal(sig, basename))
 
     def _score_prepared(self, prepared):
@@ -464,7 +574,214 @@ class VoiceFemininityScoring:
 
     def __call__(self, fpath):
         """-> (score | None, speech_duration_s, n_retained_xvectors)."""
+        if self._overlap_eligible():
+            sig = media2sig16kmono(fpath, ffmpeg=self.ffmpeg, dtype="auto")
+            basename = os.path.splitext(os.path.basename(fpath))[0]
+            if self._overlap_eligible_signal(sig):
+                return self._score_signal_overlapped(sig, basename)
+            return self._score_prepared(
+                self._prepare_signal(sig, basename, medianame=fpath))
         return self._score_prepared(self._prepare(fpath))
+
+    # -- overlapped pipeline ---------------------------------------------
+    #
+    # The serial shape of `__call__` is [upload + VAD] then [x-vectors]:
+    # window selection needs the decoded speech timeline, which is only
+    # known once the LAST upload group has landed — so on link-bound hosts
+    # the ResNet runs entirely after the transfer, the reference's own
+    # "most costly part" (vbx_segmenter.py:174-176, :222-243) serialized
+    # behind the wire.  The overlapped path speculates: as each upload
+    # group lands it computes that region's VBx feature blocks
+    # (`VbxPcmStream` — bit-identical to the whole-file path by
+    # construction) and embeds windows whose midpoint falls in a cheap
+    # PROVISIONAL speech mask (energy activity + VAD-CNN argmax, dilated
+    # by ISS_VFS_PROV_DILATE 20 ms frames).  Exactness is unconditional:
+    # an embedding depends only on final feature values, the final
+    # selection re-runs the reference midpoint/overlap filters on the
+    # EXACT decoded timeline, windows the speculation missed are embedded
+    # in a catch-up batch, and speculative extras are dropped — so the
+    # result is identical to the serial path (asserted in
+    # tests/test_vfs_overlap.py), only the schedule changes.
+
+    def _overlap_eligible(self):
+        """Static gates: the overlap needs the standard Segmenter VAD (its
+        streaming chunk machinery), the first-party extractor, the
+        speech-only filter, and the int16 device VBx path."""
+        if os.environ.get("ISS_VFS_OVERLAP", "auto") == "0":
+            return False
+        return (hasattr(self.vad, "segment_signal")
+                and hasattr(self.vad.frontend, "iter_group_feats")
+                and os.environ.get("ISS_STREAMING", "1") != "0"
+                and isinstance(self.xvector_model, JaxResnetExtractor)
+                and self.xvector_model.mesh is None
+                and os.environ.get("ISS_XVEC_SPEECH_ONLY", "1") != "0"
+                and isinstance(self.features, VbxFrontend)
+                and _vbx_i16_enabled())
+
+    def _overlap_eligible_signal(self, sig):
+        """Per-signal gates: exact int16 PCM, long enough for the
+        streaming chunk path (same threshold as segment_signal)."""
+        from .dsp.sidekit import CHUNK, frame_count
+
+        return (sig.dtype == np.int16 and len(sig) >= 400
+                and frame_count(len(sig)) >= 68
+                and frame_count(len(sig)) > CHUNK)
+
+    def _score_signal_overlapped(self, sig, basename="<signal>"):
+        """Upload/compute-overlapped scoring of an int16 signal; output
+        identical to the serial `score_signal` (same feature programs,
+        same window set, same scoring tail)."""
+        import jax.numpy as jnp  # noqa: F811  (local: keep module lazy)
+
+        from .dsp.sidekit import frame_count
+        from .dsp.vbx import VbxPcmStream
+        from .pipeline import bucket_rows
+
+        seg = self.vad
+        vad_params = seg.vad.model.params
+        t = frame_count(len(sig))
+        n20 = (t + 1) // 2
+        n = len(sig)
+        duration = n / SR
+        n_frames_vbx = (n - 80) // 160 + 1
+        vstream = VbxPcmStream(self.features, n)
+        session = _EmbedSession(self.xvector_model)
+        dilate = max(0, int(os.environ.get("ISS_VFS_PROV_DILATE", "12")))
+        # all full-window starts, in VBx frames (reference
+        # vbx_segmenter.py:222); selection state per window
+        all_starts = list(range(0, n_frames_vbx - WINLEN, STEP))
+        queued = np.zeros(len(all_starts), bool)
+        mid20 = np.minimum(
+            ((np.asarray(all_starts) + WINLEN / 2) / 100.0 / 0.02)
+            .astype(np.int64), max(n20 - 1, 0))
+
+        chunks = []
+        probs = []
+        mask_handles = []       # device (C20,) bool per chunk
+        masks_np = []           # materialized prefix of mask_handles
+        stats = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+        pending_pcm = None
+
+        def dispatch_chunk_work():
+            """Emissions + provisional-mask step for every chunk whose
+            right halo is now available."""
+            nonlocal stats
+            while len(probs) < len(chunks) - 1:
+                c = len(probs)
+                pv, _ = seg.pipeline.chunk_emissions(vad_params, None,
+                                                     chunks, c)
+                probs.append(pv)
+                s, cnt, mask = _prov_step(seg.pipeline, stats[0], stats[1],
+                                          pv, chunks[c][1],
+                                          np.float32(seg.energy_ratio))
+                stats = (s, cnt)
+                # schedule the D2H copy now: by the time select_and_embed
+                # materializes this mask (one group later) the bytes are
+                # already host-side — a blocking fetch costs a ~24 ms
+                # tunnel round trip EACH, ~0.8 s over a 20-minute file
+                mask.copy_to_host_async()
+                mask_handles.append(mask)
+
+        def select_and_embed(ready):
+            """Materialize provisional masks for the first ``ready``
+            chunks and dispatch full speculative sub-batches."""
+            while len(masks_np) < min(ready, len(mask_handles)):
+                masks_np.append(np.asarray(mask_handles[len(masks_np)]))
+            if not masks_np:
+                return
+            prov = np.concatenate(masks_np)
+            if dilate:
+                # dilated: within +-dilate 20 ms frames of provisional
+                # speech (cumsum-based windowed any)
+                c = np.zeros(len(prov) + 1, np.int64)
+                np.cumsum(prov, out=c[1:])
+                lo = np.maximum(np.arange(len(prov)) - dilate, 0)
+                hi = np.minimum(np.arange(len(prov)) + dilate + 1, len(prov))
+                prov = (c[hi] - c[lo]) > 0
+            # a window is speculable once its feature rows are final and
+            # its midpoint 20 ms frame has a provisional verdict
+            frames_ok = vstream.frames_ready
+            for i, s in enumerate(all_starts):
+                if queued[i] or s + WINLEN > frames_ok:
+                    continue
+                if mid20[i] < len(prov) and prov[mid20[i]]:
+                    queued[i] = True
+                    session.queue(s, vstream.fea_buffer)
+
+        for chunks_g, pcm in seg.frontend.iter_group_feats(
+                sig, pad_frames_to=bucket_rows(t), keep_pcm=True):
+            # group uploads + feature programs are already dispatched;
+            # issue the cheap dependent device work next, and only THEN
+            # block on older provisional masks (the device executes
+            # in dispatch order, so the reads below never stall the
+            # upload stream of this group)
+            ready_before = len(mask_handles)
+            chunks.extend(chunks_g)
+            if pending_pcm is not None:
+                # strip the group's 2*HOP lookahead (the next group's
+                # buffer re-covers it) — same as features_from_pcm
+                vstream.append(pending_pcm[:pending_pcm.shape[0] - 320])
+            pending_pcm = pcm
+            dispatch_chunk_work()
+            select_and_embed(ready_before)
+        if pending_pcm is not None:
+            vstream.append(pending_pcm)
+        if vstream._pos < n:    # defensive; keep_pcm growth guarantees this
+            vstream.append(np.zeros(n - vstream._pos, np.int16))
+        # last chunk's emissions (no right halo — exactly run_streaming's
+        # frontier behavior), then every remaining speculative window
+        pv, _ = seg.pipeline.chunk_emissions(vad_params, None, chunks,
+                                             len(chunks) - 1)
+        probs.append(pv)
+        select_and_embed(len(mask_handles))
+        session.flush(vstream.fea_buffer)
+
+        # exact decode (identical inputs/programs to segment_signal)
+        ids = np.asarray(seg.pipeline.stream_decode(
+            vad_params, None, chunks, probs, None, t, t, n20))[:n20]
+        vad_seg = seg.ids_to_lseg(ids, 0)
+        timeline = SpeechTimeline.from_vad(vad_seg)
+        speech_duration = timeline.total_duration()
+        if not speech_duration:
+            return None, speech_duration, 0
+
+        fea = vstream.finish()
+
+        def midpoint_in_speech(sg):
+            return timeline.contains_point((sg[0] + sg[1]) / 2)
+
+        segs = [(round(s / 100.0, 3), round(s / 100.0 + WINLEN / 100.0, 3))
+                for s in all_starts]
+        kept = [i for i, sg in enumerate(segs) if midpoint_in_speech(sg)]
+        embs = session.collect(fea, [all_starts[i] for i in kept])
+        x_vectors = []
+        for i in kept:
+            s = all_starts[i]
+            key = f"{basename}_{s:08}-{s + WINLEN:08}"
+            emb = embs[s]
+            if np.isnan(emb).any():
+                logger.warning(f"NaN found, not processing: {key}{os.linesep}")
+            else:
+                x_vectors.append((key, segs[i], emb))
+        start = all_starts[-1] if all_starts else 0
+        if n_frames_vbx - start - STEP >= 10:
+            tail_seg = (round((start + STEP) / 100.0, 3), round(duration, 3))
+            if midpoint_in_speech(tail_seg):
+                tail_len = n_frames_vbx - (start + STEP)
+                if os.environ.get("ISS_XVEC_TAIL", "masked") == "exact":
+                    emb = self.xvector_model.get_embedding(
+                        np.asarray(fea[start + STEP:], np.float32))
+                else:
+                    emb = self.xvector_model.get_embedding_masked(
+                        fea, start + STEP, tail_len)
+                key = f"{basename}_{start + STEP:08}-{n_frames_vbx:08}"
+                if np.isnan(emb).any():
+                    logger.warning(
+                        f"NaN found, not processing: {key}{os.linesep}")
+                else:
+                    x_vectors.append((key, tail_seg, emb))
+        x_vectors = [(key, sg, x * 10) for key, sg, x in x_vectors]
+        return self._score_xvectors(x_vectors, timeline, speech_duration)
 
     # ------------------------------------------------------------------
     def batch_score(self, linput, loutput, verbose=False, skipifexist=False,

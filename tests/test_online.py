@@ -520,3 +520,110 @@ def test_follow_wav_fixed_placeholder_size(seg, tmp_path):
     # close-time back-patch (~5 s in): the stream did not stall
     early = [t for t, total in progressed if total > placeholder // 2]
     assert early and early[0] < progressed[0][0] + 3.0
+
+
+# ---------------------------------------------------------------------------
+# Committed-prefix provisional decode (round 5): current() re-decodes only
+# the uncommitted suffix once a silence boundary commits, finalize() stays
+# bit-exact, and the per-poll decode work is O(suffix), not O(stream).
+# ---------------------------------------------------------------------------
+
+def _silence_boundary_signal(chunks, seed=21):
+    """~`chunks` feature chunks of noise with guaranteed digital silence
+    straddling every chunk boundary (so commit opportunities exist)."""
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+
+    n = (chunks * CHUNK + 2) * HOP
+    rng = np.random.default_rng(seed)
+    sig = (rng.standard_normal(n) * 3000).astype(np.int16)
+    for b in range(1, chunks):
+        c = b * CHUNK * HOP
+        sig[c - 4 * 16000: c + 4 * 16000] = 0     # 8 s of silence
+    return sig
+
+
+def test_commit_advances_and_finalize_exact(seg):
+    sig = _silence_boundary_signal(3)
+    online = OnlineSegmenter(seg)
+    block = 5 * 16000
+    for pos in range(0, len(sig), block):
+        online.feed(sig[pos: pos + block])
+        online.current()
+    assert online._commit >= 1, "no commit despite silence boundaries"
+    assert len(online._committed_ids) == online._commit * 2048
+    final = online.finalize()
+    offline = seg.segment_signal(sig)
+    assert final == offline
+
+
+def test_commit_suffix_decode_equals_full(seg):
+    """With a noEnergy-committed seam, the suffix decode must agree with
+    the full provisional decode frame-for-frame (the seam argument: VAD /
+    gender Viterbi segments never cross a silence boundary, the energy
+    Viterbi state is pinned by the long agreeing run)."""
+    from inaspeechsegmenter_tpu.dsp.sidekit import frame_count, CHUNK
+
+    sig = _silence_boundary_signal(3, seed=33)
+    online = OnlineSegmenter(seg)
+    block = 7 * 16000
+    for pos in range(0, len(sig), block):
+        online.feed(sig[pos: pos + block])
+        if pos // block % 3 == 0:
+            online.current()
+    online.current()
+    assert online._commit >= 1
+    m = len(online._mels)
+    n = min(frame_count(online._total), m * CHUNK)
+    suffix = online._decode_provisional(n)
+    probs = [online._chunk_probs(c) for c in range(m - 1)]
+    probs.append(online._chunk_probs(m - 1, zero_right=True))
+    full = online._decode(online._mels, probs, n)
+    np.testing.assert_array_equal(suffix, full)
+
+
+def test_commit_decode_is_suffix_sized(seg, monkeypatch):
+    """After a commit, the stream_decode call for a new poll must see only
+    the uncommitted chunks — the O(total-timeline) re-decode is gone."""
+    sig = _silence_boundary_signal(6, seed=5)
+    online = OnlineSegmenter(seg)
+    block = 6 * 16000
+    seen = []
+    real = seg.pipeline.stream_decode
+
+    def spy(vp, gp, chunks, pv, pg, *a, **kw):
+        seen.append(len(chunks))
+        return real(vp, gp, chunks, pv, pg, *a, **kw)
+
+    monkeypatch.setattr(seg.pipeline, "stream_decode", spy)
+    two_groups = len(sig) * 4 // 6          # one complete 3-chunk group
+    for pos in range(0, two_groups, block):
+        online.feed(sig[pos: pos + block])
+        online.current()
+    assert online._commit >= 1
+    c_before = online._commit
+    for pos in range(two_groups, len(sig), block):
+        online.feed(sig[pos: pos + block])
+    online.current()
+    m = len(online._mels)
+    # the fresh poll decoded exactly the uncommitted suffix, not the
+    # whole timeline
+    assert seen[-1] == m - c_before < m
+
+
+def test_force_commit_on_unbroken_audio(seg):
+    """A stream with no silence for COMMIT_MAXBACK chunks force-commits at
+    the horizon (bounded decode regardless of content); finalize stays
+    exact."""
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP
+
+    rng = np.random.default_rng(7)
+    n = (4 * CHUNK + 2) * HOP
+    sig = (rng.standard_normal(n) * 3000).astype(np.int16)  # never silent
+    online = OnlineSegmenter(seg)
+    online.COMMIT_MAXBACK = 2
+    block = 10 * 16000
+    for pos in range(0, len(sig), block):
+        online.feed(sig[pos: pos + block])
+        online.current()
+    assert online._commit >= 1
+    assert online.finalize() == seg.segment_signal(sig)
