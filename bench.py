@@ -132,6 +132,236 @@ def _timed(fn):
     return time.perf_counter() - t0
 
 
+def measure_stages(seg, inputs, seconds):
+    """Per-stage decomposition of the segmentation pipeline on THIS host,
+    each stage isolated on the same corpus the headline RTF measured:
+
+    * ``read_s``     — WAV decode on the host (audio.io, dtype='auto');
+    * ``pack_s``     — upload-codec encode on the host (pack_best per
+                       upload group, exactly the serving group loop);
+    * ``upload_s``   — shipping the packed bytes over the link, forced
+                       round trip so the transfer cannot hide;
+    * ``feats_s``    — feature chunk programs on device-RESIDENT packed
+                       buffers (unpack + DFT + mel);
+    * ``decode_s``   — CNN emissions + Viterbi tails on resident features;
+    * ``readback_s`` — fetching the final label ids to the host.
+
+    ``expected_wall_s`` reconstructs the serving wall under the pipeline's
+    overlap model (host + max(link, device) + readback): the headline RTF
+    is explained when it matches the measured wall within ~15%.  Stages
+    are best-of-2; everything device-side is block_until_ready-fenced.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from inaspeechsegmenter_tpu.audio.io import media2sig16kmono
+    from inaspeechsegmenter_tpu.dsp.codec import pack_best
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK, HOP, frame_count
+    from inaspeechsegmenter_tpu.pipeline import bucket_rows
+
+    def best2(fn):
+        return min(_timed(fn), _timed(fn))
+
+    read_s = best2(lambda: [media2sig16kmono(p, None, None, None, "auto")
+                            for p in inputs])
+    sigs = [media2sig16kmono(p, None, None, None, "auto") for p in inputs]
+
+    def group_slices(sig):
+        t = frame_count(len(sig))
+        n_chunks = max(1, bucket_rows(t) // CHUNK)
+        need = (n_chunks * CHUNK + 2) * HOP
+        sig = np.pad(sig, (0, max(0, need - len(sig))))[:need]
+        group = max(1, int(os.environ.get("ISS_UPLOAD_CHUNKS", "3")))
+        return [(np.ascontiguousarray(
+                    sig[g * CHUNK * HOP: ((g + k) * CHUNK + 2) * HOP]), k)
+                for g in range(0, n_chunks, group)
+                for k in [min(group, n_chunks - g)]]
+
+    slices = [s for sig in sigs for s in group_slices(sig)]
+    pack_s = best2(lambda: [pack_best(raw) for raw, _ in slices])
+    packed = [(pack_best(raw), raw, k) for raw, k in slices]
+
+    red = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+
+    def upload_all():
+        devs = [jnp.asarray(p[1] if p is not None else raw)
+                for p, raw, _ in packed]
+        float(red(devs[-1]))        # forced round trip
+        return devs
+
+    upload_all()
+    upload_s = best2(upload_all)
+    bufs = upload_all()
+
+    fe = seg.frontend
+    kinds = [None if p is None else p[0] for p, _, _ in packed]
+
+    def feats_all():
+        outs = []
+        for buf, kind, (p, raw, k) in zip(bufs, kinds, packed):
+            nb = len(raw) // 320
+            if kind == "bits":
+                res = fe._one_chunk_bits(buf, nb)
+            elif kind is not None:
+                res = fe._one_chunk_packed(buf, nb)
+            else:
+                res = fe._one_chunk(buf)
+            outs.append(res)
+        jax.block_until_ready(outs)
+        return outs
+
+    feats_all()
+    feats_s = best2(feats_all)
+
+    # resident-feature CNN + decode, per file (the fused streaming path)
+    per_file = []
+    for sig in sigs:
+        t = frame_count(len(sig))
+        chunks, _ = fe.mspec_loge_chunks(sig, pad_frames_to=bucket_rows(t))
+        jax.block_until_ready([c[0] for c in chunks])
+        per_file.append((chunks, t))
+
+    def decode_all():
+        out = []
+        for chunks, t in per_file:
+            ids = seg.pipeline.run_streaming(
+                seg.vad.model.params,
+                seg.gender.model.params if seg.detect_gender else None,
+                chunks, t, t, (t + 1) // 2)
+            out.append(ids)
+        jax.block_until_ready(out)
+        return out
+
+    decode_all()
+    decode_s = best2(decode_all)
+    ids = decode_all()
+    readback_s = best2(lambda: [np.asarray(i) for i in ids])
+
+    device_s = feats_s + decode_s
+    stages = {
+        "read_s": round(read_s, 3), "pack_s": round(pack_s, 3),
+        "upload_s": round(upload_s, 3), "feats_s": round(feats_s, 3),
+        "decode_s": round(decode_s, 3), "readback_s": round(readback_s, 3),
+        "device_s": round(device_s, 3),
+        # serving overlap model: host stages serial (1-core bench hosts
+        # cannot hide them), link and device overlapped, readback serial
+        "expected_wall_s": round(read_s + pack_s + max(upload_s, device_s)
+                                 + readback_s, 3),
+    }
+    stages["device_rtf"] = round(seconds / device_s, 1)
+    return stages
+
+
+def _xla_flops(fn, *args):
+    """Analytic FLOPs of a jitted computation via XLA's cost analysis;
+    None when the backend does not expose it."""
+    import jax
+
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = float(cost["flops"])
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+V5E_PEAK_FLOPS = 394e12 / 2     # bf16 MACs: 197 TFLOP/s on v5e
+
+
+def measure_mfu(seg):
+    """MXU utilization of the two FLOP-heavy stages, driver-visible:
+
+    * ``mfu_cnn``     — one VAD patch-CNN chunk program (the fused
+                        pipeline's dominant kernel), analytic FLOPs from
+                        XLA cost analysis over its measured runtime;
+    * ``mfu_xvector`` — one full ResNet101 x-vector sub-batch (256, 64,
+                        144) in the serving precision.
+
+    Both divide by the v5e bf16 peak (197 TFLOP/s): exact-f32 stages run
+    6 MXU passes per logical FLOP, so their ceiling is ~0.167 — quoted as
+    ``*_roofline_frac`` (fraction of the precision's own ceiling) next to
+    the raw MFU.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from inaspeechsegmenter_tpu.models.resnet import ResNet101XVector
+
+    out = {}
+    # patch CNN: the streaming chunk-emission program on one chunk
+    pipe = seg.pipeline
+    pipe._ensure_stream_jits()
+    from inaspeechsegmenter_tpu.dsp.sidekit import CHUNK
+    from inaspeechsegmenter_tpu.pipeline import STREAM_HALO
+    rng = np.random.default_rng(0)
+    m_c = jnp.asarray(rng.standard_normal((CHUNK, 24)), jnp.float32)
+    halo = jnp.zeros((STREAM_HALO, 24), jnp.float32)
+    vp = seg.vad.model.params
+
+    def cnn(mp, h1, mc, h2):
+        return pipe._chunk_probs_impl(pipe.vad_forward, pipe.vad_nmel,
+                                      mp, h1, mc, h2, False)
+
+    fl = _xla_flops(cnn, vp, halo, m_c, halo)
+    def run_cnn():
+        jax.block_until_ready(pipe._jit_vad_chunk(vp, halo, m_c, halo,
+                                                  False))
+    run_cnn()
+    dt = min(_timed(run_cnn) for _ in range(3))
+    if fl:
+        mfu = fl / dt / V5E_PEAK_FLOPS
+        passes = {"fast": 1, "high": 3, "highest": 6}.get(
+            os.environ.get("ISS_CNN_PRECISION", "high"), 3)
+        out["mfu_cnn"] = round(mfu, 4)
+        out["mfu_cnn_roofline_frac"] = round(mfu * passes, 3)
+
+    # ResNet101 x-vector sub-batch in serving precision
+    net = ResNet101XVector()
+    params = net.init_params(seed=1)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    x = jnp.asarray(rng.standard_normal((256, 64, 144)), jnp.float32)
+    fl = _xla_flops(net.forward, params, x)
+    def run_x():
+        jax.block_until_ready(net(params, x))
+    run_x()
+    dt = min(_timed(run_x) for _ in range(3))
+    if fl:
+        mfu = fl / dt / V5E_PEAK_FLOPS
+        passes = {"fast": 1, "high": 3, "highest": 6}.get(
+            os.environ.get("ISS_XVEC_PRECISION", "highest"), 6)
+        out["mfu_xvector"] = round(mfu, 4)
+        out["mfu_xvector_roofline_frac"] = round(mfu * passes, 3)
+    return out
+
+
+def measure_single_file(seg, seconds, tmp):
+    """ONE continuous `seconds`-long WAV through the streaming single-file
+    path (`Segmenter.__call__` -> segment_signal) — the corpus RTF splits
+    the hour across files, so the long-file bucket ladder and streaming
+    chunk machinery would otherwise never face a full hour in the driver
+    artifact.  Also reports peak device memory when the backend exposes
+    it (long-file memory boundedness, SURVEY §5 long-context)."""
+    import jax
+
+    from inaspeechsegmenter_tpu.audio import write_wav
+
+    path = os.path.join(tmp, "single.wav")
+    write_wav(path, synth_int16(seconds, seed=0), 16000)
+    seg(path)                                  # warm the long-file buckets
+    best = min(_timed(lambda: seg(path)) for _ in range(2))
+    out = {"single_file_rtf": round(seconds / best, 1),
+           "single_file_seconds": seconds}
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("peak_bytes_in_use"):
+            out["peak_hbm_mb"] = round(stats["peak_bytes_in_use"] / 2**20)
+    except Exception:
+        pass                                   # observability only
+    return out
+
+
 def measure_online(seg, seconds=150):
     """Compact online-latency section: OnlineSegmenter fed 1 s blocks.
 
@@ -280,6 +510,27 @@ def main():
         rec["upload_codec_byte_ratio"] = round(packed_b / raw_b, 3)
     except Exception as e:
         rec["upload_codec_error"] = repr(e)
+
+    # per-stage decomposition: the record must explain its own wall time
+    # (read/pack on host, upload on the link, feats/decode on device,
+    # readback), with the resident-pipeline RTF (device_rtf) made
+    # driver-visible at last
+    try:
+        rec["stages"] = measure_stages(seg, inputs, seconds)
+    except Exception as e:
+        rec["stages_error"] = repr(e)
+    # MXU utilization of the FLOP-heavy kernels (analytic FLOPs from XLA
+    # cost analysis over measured runtimes)
+    try:
+        rec.update(measure_mfu(seg))
+    except Exception as e:
+        rec["mfu_error"] = repr(e)
+    # hour-scale SINGLE-file measurement (skippable: ISS_BENCH_SINGLE=0)
+    if os.environ.get("ISS_BENCH_SINGLE", "1") != "0":
+        try:
+            rec.update(measure_single_file(seg, seconds, tmp))
+        except Exception as e:
+            rec["single_file_error"] = repr(e)
 
     # VFS pipeline (same measurement as tools/bench_vfs.py, smaller
     # best-of): its own try/except so a VFS-path failure still reports

@@ -280,17 +280,13 @@ class SidekitFrontend:
         if keep_pcm and len(sig) > need:
             # the PCM consumer (the VBx frontend's mirror tail) reads the
             # TRUE last samples of the signal; when the frame count exactly
-            # fills the chunk bucket, up to WIN-2*HOP-1 = 79 trailing
-            # samples fall past the feature window — grow to the NEXT
-            # bucket-ladder chunk count so the shared buffers cover the
-            # whole signal.  Growing to a ladder rung (not just +1) keeps
-            # the downstream tail program's shape inside the bounded
-            # compile set every other file uses; the padding chunks are
-            # near-all zeros (elided by the upload codec, masked
-            # downstream), so the extra cost is a few chunk-program runs.
-            from ..pipeline import bucket_chunks
-
-            n_chunks = bucket_chunks(n_chunks + 1)
+            # fills the chunk count, up to WIN-2*HOP-1 = 79 trailing
+            # samples fall past the feature window — grow by one chunk so
+            # the shared buffers cover the whole signal.  (Downstream tail
+            # program shapes are unaffected: `stream_decode` pads the
+            # PROBS to the bucket ladder itself, so emissions are only
+            # ever computed for real chunks.)
+            n_chunks += 1
             need = (n_chunks * CHUNK + 2) * HOP
         if len(sig) < need:
             sig = np.pad(sig, (0, need - len(sig)))

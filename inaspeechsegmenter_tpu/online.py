@@ -49,7 +49,6 @@ import numpy as np
 
 from .annotations import SpeechTimeline
 from .dsp.sidekit import CHUNK, HOP, frame_count
-from .pipeline import bucket_rows
 
 _LOG_ZERO = float(np.log(1e-200))
 
@@ -380,7 +379,9 @@ class OnlineSegmenter:
         if self._finalized is not None:
             return self._finalized
         t = frame_count(self._total)
-        n_chunks = bucket_rows(t) // CHUNK
+        # real chunk count, like the offline streaming path (the decode
+        # pads probs to the bucket ladder itself)
+        n_chunks = max(1, -(-t // CHUNK))
         if self._passthrough or t < 68 or n_chunks < 2:
             # the offline path takes its fused short-media branch here;
             # nothing has been dropped yet (no group completed), so just

@@ -281,14 +281,16 @@ class Segmenter:
 
         with self.timers.time("features"):
             t = frame_count(len(sig))
-            bucket = bucket_rows(t)
+            # REAL chunks only: stream_decode pads the probs/mels to the
+            # bucket ladder itself, so computing features + CNN emissions
+            # for padding chunks would be pure waste (a 1200 s file pads
+            # 30 -> 42 chunks on the ladder: 40% extra chunk programs)
             pcm = None
             if return_pcm:
                 chunks, t, pcm = self.frontend.mspec_loge_chunks(
-                    sig, pad_frames_to=bucket, keep_pcm=True)
+                    sig, keep_pcm=True)
             else:
-                chunks, t = self.frontend.mspec_loge_chunks(
-                    sig, pad_frames_to=bucket)
+                chunks, t = self.frontend.mspec_loge_chunks(sig)
         if t >= 68 and len(chunks) >= 2:
             n20 = (t + 1) // 2
             with self.timers.time("segment"):

@@ -635,7 +635,6 @@ class VoiceFemininityScoring:
 
         from .dsp.sidekit import frame_count
         from .dsp.vbx import VbxPcmStream
-        from .pipeline import bucket_rows
 
         seg = self.vad
         vad_params = seg.vad.model.params
@@ -709,7 +708,7 @@ class VoiceFemininityScoring:
                     session.queue(s, vstream.fea_buffer)
 
         for chunks_g, pcm in seg.frontend.iter_group_feats(
-                sig, pad_frames_to=bucket_rows(t), keep_pcm=True):
+                sig, keep_pcm=True):
             # group uploads + feature programs are already dispatched;
             # issue the cheap dependent device work next, and only THEN
             # block on older provisional masks (the device executes

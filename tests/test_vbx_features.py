@@ -202,9 +202,9 @@ def test_features_from_shared_pcm_exact_bucket_tail(monkeypatch):
     outs, _, pcm = sfe.mspec_loge_chunks(sig, pad_frames_to=bucket,
                                          keep_pcm=True)
     assert sum(int(p.shape[0]) for p in pcm) >= n
-    # the grown chunk count stays on the bucket ladder so the streaming
-    # tail program's shape is shared with ordinary files
-    assert bucket_chunks(len(outs)) == len(outs)
+    # grown by exactly one chunk (tail programs pad probs to the ladder
+    # themselves, so emissions never run on padding chunks)
+    assert len(outs) == bucket // CHUNK + 1
     shared = np.asarray(fe.features_from_pcm(pcm, len(sig)))
     np.testing.assert_array_equal(direct, shared)
 
