@@ -308,6 +308,19 @@ class Segmenter:
         ret = self._fused_segment(mspec, loge, t, difflen, s0)
         return (ret, pcm) if return_pcm else ret
 
+    def refresh_frontend(self):
+        """Re-evaluate the auto host-vs-device frontend choice against a
+        fresh (TTL-cached) link probe; a no-op unless ISS_FRONTEND is
+        'auto' and the decision actually flipped.  Called at the start of
+        every `batch_process` so a farm worker that outlives a link-speed
+        regime change adapts at the next lease instead of never."""
+        if os.environ.get("ISS_FRONTEND", "auto") != "auto":
+            return self.frontend
+        new = _default_frontend()
+        if type(new) is not type(self.frontend):
+            self.frontend = new
+        return self.frontend
+
     # ------------------------------------------------------------------
     def batch_process(self, linput, loutput, verbose=False, skipifexist=False,
                       nbtry=1, trydelay=2., output_format="csv"):
@@ -323,6 +336,12 @@ class Segmenter:
             fexport = seg2textgrid
         else:
             raise NotImplementedError()
+
+        # long-lived servers: the ctor's link probe may be hours stale and
+        # the tunneled link swings several-fold by the hour — re-evaluate
+        # the auto frontend choice per batch (never mid-batch, so one
+        # batch's outputs all come from one frontend)
+        self.refresh_frontend()
 
         produce = staged_producer(
             lambda src: self._media2feats(src, None, None),
@@ -343,13 +362,23 @@ class Segmenter:
                               verbose=verbose)
 
 
-_LINK_MBPS = None
+_LINK_MBPS = None       # (value, measured_at_monotonic)
 
 
-def _link_bandwidth_mbps():
-    """Measure host->device link bandwidth once per process (MB/s)."""
+def _link_bandwidth_mbps(max_age_s=None):
+    """Measured host->device link bandwidth (MB/s), cached with a TTL.
+
+    Tunneled links swing several-fold between hours (docs/performance.md),
+    so a once-per-process probe can leave a long-lived server on the wrong
+    frontend for its remaining lifetime; the cached value expires after
+    ``ISS_LINK_PROBE_TTL`` seconds (default 600) and the next caller
+    re-probes (~0.1 s).  ``max_age_s=None`` uses the env default; pass
+    ``float('inf')`` for the old once-per-process behavior."""
     global _LINK_MBPS
-    if _LINK_MBPS is None:
+    if max_age_s is None:
+        max_age_s = float(os.environ.get("ISS_LINK_PROBE_TTL", "600"))
+    now = time.monotonic()
+    if _LINK_MBPS is None or now - _LINK_MBPS[1] > max_age_s:
         import jax
         import jax.numpy as jnp
 
@@ -357,8 +386,8 @@ def _link_bandwidth_mbps():
         jax.block_until_ready(jnp.asarray(buf))      # warm the path
         t0 = time.perf_counter()
         jax.block_until_ready(jnp.asarray(np.ones(2 << 20, np.float32)))
-        _LINK_MBPS = 8.0 / max(time.perf_counter() - t0, 1e-6)
-    return _LINK_MBPS
+        _LINK_MBPS = (8.0 / max(time.perf_counter() - t0, 1e-6), now)
+    return _LINK_MBPS[0]
 
 
 def _default_frontend():

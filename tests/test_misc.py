@@ -135,3 +135,32 @@ def test_ensure_synthetic_env_respects_preset(monkeypatch, tmp_path):
                         lambda *a, **k: (_ for _ in ()).throw(
                             AssertionError("generated stand-ins")))
     assert synthetic.ensure_synthetic_env(size="small") == str(real)
+
+
+def test_link_probe_ttl_and_frontend_refresh(synthetic_model_dir,
+                                             monkeypatch):
+    """The link probe re-measures after its TTL, and refresh_frontend
+    swaps the frontend only when the auto decision flips (never for an
+    explicit ISS_FRONTEND)."""
+    import inaspeechsegmenter_tpu.segmenter as S
+
+    monkeypatch.setattr(S, "_LINK_MBPS", None)
+    v1 = S._link_bandwidth_mbps()
+    stamped = S._LINK_MBPS
+    assert v1 == S._link_bandwidth_mbps() and S._LINK_MBPS is stamped
+    # expired entry -> fresh probe (new stamp)
+    monkeypatch.setattr(S, "_LINK_MBPS", (v1, stamped[1] - 1e6))
+    S._link_bandwidth_mbps()
+    assert S._LINK_MBPS[1] > stamped[1] - 1e5
+
+    seg = S.Segmenter(vad_engine="smn", detect_gender=False, ffmpeg=None,
+                      allow_download=False)
+    fe = seg.frontend
+    assert seg.refresh_frontend() is fe          # same decision: no swap
+    monkeypatch.setenv("ISS_FRONTEND", "host")
+    assert seg.refresh_frontend() is fe          # explicit choice: no-op
+    monkeypatch.setenv("ISS_FRONTEND", "auto")
+
+    from inaspeechsegmenter_tpu.dsp.host_fe import HostSidekitFrontend
+    monkeypatch.setattr(S, "_default_frontend", lambda: HostSidekitFrontend())
+    assert isinstance(seg.refresh_frontend(), HostSidekitFrontend)
