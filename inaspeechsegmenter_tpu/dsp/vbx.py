@@ -457,6 +457,128 @@ class VbxPcmStream:
         return self._fea[: self.n_frames]
 
 
+class VbxPcmStreamOnline:
+    """Growing-capacity variant of `VbxPcmStream` for live streams whose
+    final length is unknown: blocks are computed as soon as their halo'd
+    extent is final INDEPENDENT of the eventual signal end — a block's
+    rows use only interior/start CMVN clamps once the frontier is
+    HALO + GUARD frames past its extent, so the values are bit-identical
+    to the offline computation on the finished signal (asserted in
+    tests/test_vbx_features.py).  `finalize()` writes the mirror tail and
+    computes the remaining end-dependent blocks with the exact length.
+    """
+
+    GUARD = 16          # frontier slack before a block is trusted final
+
+    def __init__(self, fe, capacity=1 << 23):
+        self.fe = fe
+        self._pos = 0
+        self._blocks_done = 0
+        self._front_done = False
+        self._final = None
+        self._cap = 0
+        self._buf = None
+        self._fea = None
+        self._grow(capacity)
+
+    def _grow(self, need_samples):
+        cap = max(self._cap, 1 << 23)
+        while cap < need_samples:
+            cap *= 2
+        if cap == self._cap:
+            return
+        import jax.numpy as _jnp
+
+        n_frames_cap = (cap - 80) // HOP + 1
+        nb = max(1, -(-n_frames_cap // VBX_BLK))
+        s_b = max(_MARGIN + ((nb - 1) * VBX_BLK - VBX_HALO) * HOP
+                  + (_EXT + 2) * HOP,
+                  _MARGIN + 120 + cap + 200)
+        buf = _jnp.zeros(s_b, _jnp.float32)
+        fea = _jnp.zeros((nb * VBX_BLK, FEAT_DIM), _jnp.float32)
+        if self._buf is not None:
+            buf = jax.lax.dynamic_update_slice(buf, self._buf, (0,))
+            fea = jax.lax.dynamic_update_slice(fea, self._fea, (0, 0))
+        self._buf, self._fea = buf, fea
+        self._cap = cap
+        self._nb_cap = nb
+        self._dither = self.fe._dither_full(cap + 200)
+
+    def append(self, piece):
+        """Consume the next live samples (int16, device or host array)."""
+        import jax.numpy as _jnp
+
+        assert self._final is None, "append() after finalize()"
+        ln = int(piece.shape[0])
+        if ln == 0:
+            return
+        self._grow(self._pos + ln)
+        if not isinstance(piece, jax.Array):
+            piece = _upload_pieces(np.ascontiguousarray(piece, np.int16),
+                                   2 << 20)
+        # n_limit far past any real position: every live sample is real
+        self._buf = self.fe._stream_append(self._buf, piece, self._dither,
+                                           _jnp.int32(self._pos),
+                                           _jnp.int32(2 ** 30))
+        self._pos += ln
+        if not self._front_done and self._pos >= 120:
+            self._buf = self.fe._stream_front_mirror(self._buf)
+            self._front_done = True
+        self._run_safe_blocks()
+
+    def _frames_now(self):
+        return (self._pos - 80) // HOP + 1 if self._pos >= 400 else 0
+
+    def _run_safe_blocks(self):
+        import jax.numpy as _jnp
+
+        frames_now = self._frames_now()
+        win_len = min(max(frames_now, 1), self.fe.lc + self.fe.rc + 1)
+        while self._blocks_done < self._nb_cap:
+            b = self._blocks_done
+            if ((b + 1) * VBX_BLK + VBX_HALO + self.GUARD > frames_now
+                    or not self._front_done):
+                return
+            # rows here take only interior/start CMVN branches, so the
+            # traced n_frames (the current frontier) yields the same
+            # values the finished-signal call will
+            self._fea = self.fe._block_features(
+                self._buf, _jnp.int32(b * VBX_BLK), _jnp.int32(frames_now),
+                _jnp.int32(win_len), self._fea)
+            self._blocks_done += 1
+
+    @property
+    def frames_ready(self):
+        """Feature frames final so far (safe blocks only)."""
+        return min(self._blocks_done * VBX_BLK, max(self._frames_now(), 0))
+
+    @property
+    def fea_buffer(self):
+        return self._fea
+
+    def finalize(self):
+        """The stream is complete: mirror the tail, compute the remaining
+        blocks with the exact length -> (n_frames, 64) features, equal to
+        the offline `VbxPcmStream` on the same samples."""
+        import jax.numpy as _jnp
+
+        if self._final is not None:
+            return self._final
+        n = self._pos
+        assert n >= 400, "finalize() below one analysis window"
+        n_frames = (n - 80) // HOP + 1
+        self._buf = self.fe._stream_tail_mirror(self._buf, _jnp.int32(n))
+        win_len = min(n_frames, self.fe.lc + self.fe.rc + 1)
+        nb = max(1, -(-n_frames // VBX_BLK))
+        while self._blocks_done < nb:
+            self._fea = self.fe._block_features(
+                self._buf, _jnp.int32(self._blocks_done * VBX_BLK),
+                _jnp.int32(n_frames), _jnp.int32(win_len), self._fea)
+            self._blocks_done += 1
+        self._final = self._fea[:n_frames]
+        return self._final
+
+
 def vbx_i16_enabled():
     """True when the int16 (device-dither) VBx path is selected — the same
     decision `features()` makes; callers holding shared device PCM use it

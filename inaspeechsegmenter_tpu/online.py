@@ -564,18 +564,19 @@ class OnlineVFS:
     ``finalize()`` runs the canonical scoring on the full signal — exactly
     equal to ``vfs.score_signal(<everything fed>)``.
 
-    The expensive ResNet work is incremental: a window is embedded ONCE,
-    as soon as its features are final — i.e. its 144 frames plus the VBx
-    floating-CMVN right context lie behind the feature frontier (minus a
-    small guard for the end-dependent mirror tail, and only once enough
-    frames exist to saturate the CMVN window for the stream head) — and
-    cached for every later provisional score.  VBx features are
-    recomputed on the grown prefix, but only when at least
-    ``ISS_ONLINE_VFS_BATCH`` (default 32) new windows are embeddable, so
-    the cumulative feature cost stays a small multiple of one-shot
-    (~T/15s full-prefix passes) rather than one per poll.  The raw PCM is
-    retained in full — the VBx mirror tail and the exact finalize
-    fundamentally need the signal's true end.
+    The expensive work is incremental on two levels.  Embeddings: a
+    window is embedded ONCE, as soon as its features are final, and
+    cached for every later provisional score.  Features: int16 streams
+    on the device VBx path run through `VbxPcmStreamOnline` — fixed-grid
+    feature blocks computed as the stream passes their halo'd extent,
+    bit-identical to the finished-signal computation, with the raw PCM
+    DROPPED once absorbed (bounded memory) — and ``finalize()``
+    reassembles the exact offline result from the cached embeddings plus
+    one catch-up batch (equal to ``vfs.score_signal(<everything fed>)``,
+    asserted in tests).  Float streams (or forced-f32 VBx) keep the
+    buffered-prefix fallback: features recomputed on the grown prefix
+    only when at least ``ISS_ONLINE_VFS_BATCH`` (default 32) new windows
+    are embeddable, raw PCM retained for the exact finalize.
     """
 
     TAIL_GUARD = 4     # frontier frames the mirror tail may still change
@@ -587,11 +588,13 @@ class OnlineVFS:
         self._parts = []
         self._total = 0
         self._dtype = None
-        self._emb = {}          # window start frame -> xvector*10 | None
+        self._emb = {}          # window start frame -> RAW xvector | None
         self._fea = None        # device features of the buffered prefix
         self._fea_len = -1
         self._cur = None        # (scoring inputs key, result) cache
         self._finalized = None
+        self._stream = None     # VbxPcmStreamOnline (int16 device path)
+        self._use_stream = None
         self._min_new = max(1, int(os.environ.get("ISS_ONLINE_VFS_BATCH",
                                                   "32")))
 
@@ -612,12 +615,37 @@ class OnlineVFS:
         kind = np.int16 if pcm.dtype == np.int16 else np.float32
         if self._dtype is None:
             self._dtype = kind
+            self._use_stream = kind == np.int16 and self._stream_eligible()
+            if self._use_stream:
+                from .dsp.vbx import VbxPcmStreamOnline
+
+                self._stream = VbxPcmStreamOnline(self.vfs.features)
         elif kind != self._dtype:
             raise TypeError("feed dtype changed mid-stream")
-        self._parts.append(np.array(pcm, dtype=self._dtype, copy=True))
+        if self._use_stream:
+            self._stream.append(np.ascontiguousarray(pcm, np.int16))
+            # raw PCM kept only until one analysis window exists (the
+            # too-short finalize must reproduce the offline error path);
+            # past that the stream owns the samples — bounded memory
+            if self._total < 400:
+                self._parts.append(np.array(pcm, dtype=self._dtype,
+                                            copy=True))
+            elif self._parts:
+                self._parts = []
+        else:
+            self._parts.append(np.array(pcm, dtype=self._dtype, copy=True))
         self._total += len(pcm)
         self.vad_online.feed(pcm)
         return self
+
+    def _stream_eligible(self):
+        """int16 device feature path available for incremental use?"""
+        from .dsp.vbx import VbxFrontend, vbx_i16_enabled
+        from .vfs import JaxResnetExtractor
+
+        return (vbx_i16_enabled()
+                and isinstance(self.vfs.features, VbxFrontend)
+                and isinstance(self.vfs.xvector_model, JaxResnetExtractor))
 
     def _signal(self):
         return (np.concatenate(self._parts) if self._parts
@@ -660,29 +688,43 @@ class OnlineVFS:
         def seg_of(s):
             return (round(s / 100.0, 3), round(s / 100.0 + WINLEN / 100.0, 3))
 
-        starts = self._final_starts(self._frames_now())
+        if self._use_stream:
+            from .vfs import STEP
+
+            # every window fully behind the stream's final-feature
+            # frontier (block granularity already embeds the CMVN guard)
+            fr = self._stream.frames_ready
+            starts = list(range(0, max(fr - WINLEN + 1, 0), STEP))
+        else:
+            starts = self._final_starts(self._frames_now())
         in_speech = [s for s in starts
                      if timeline.contains_point(
                          (seg_of(s)[0] + seg_of(s)[1]) / 2)]
         new = [s for s in in_speech if s not in self._emb]
-        # batch the expensive part: recompute prefix features + embed only
-        # when enough NEW windows accumulated (or none were ever embedded)
+        # batch the expensive part: embed only when enough NEW windows
+        # accumulated (or none were ever embedded)
         if new and (len(new) >= self._min_new or not self._emb):
-            sig = self._signal()
-            if self._fea is None or len(sig) != self._fea_len:
-                signal64 = (sig.astype(np.float64) / 32768.0
-                            if self._dtype == np.int16
-                            else np.asarray(sig, np.float64))
-                self._fea = self.vfs.features.features(signal64)
-                self._fea_len = len(sig)
+            if self._use_stream:
+                # incremental device features: rows behind `frames_ready`
+                # are final and bit-equal to the offline computation — no
+                # prefix recompute, no re-upload, O(new windows) only
+                fea_dev = self._stream.fea_buffer
+            else:
+                sig = self._signal()
+                if self._fea is None or len(sig) != self._fea_len:
+                    signal64 = (sig.astype(np.float64) / 32768.0
+                                if self._dtype == np.int16
+                                else np.asarray(sig, np.float64))
+                    self._fea = self.vfs.features.features(signal64)
+                    self._fea_len = len(sig)
+                fea_dev = jnp.asarray(self._fea, jnp.float32)
             embs = self.vfs.xvector_model.embeddings_from_features(
-                jnp.asarray(self._fea, jnp.float32),
-                np.asarray(new, np.int32))
+                fea_dev, np.asarray(new, np.int32))
             for s, e in zip(new, embs):
                 # NaN embeddings recorded as None: never retained, never
                 # re-embedded (the canonical extractor logs and drops
                 # them the same way, vfs.py)
-                self._emb[s] = None if np.isnan(e).any() else e * 10
+                self._emb[s] = None if np.isnan(e).any() else e
         # scoring inputs are fully determined by the VAD timeline and the
         # (grow-only) embedding store: between changes the MLP dispatch +
         # readback is skipped, so steady-state polls cost no device work
@@ -690,7 +732,7 @@ class OnlineVFS:
         key = (tuple(timeline.intervals), len(self._emb))
         if self._cur is None or self._cur[0] != key:
             xv = [(f"{self.basename}_{s:08}-{s + WINLEN:08}", seg_of(s),
-                   self._emb[s]) for s in starts
+                   self._emb[s] * 10) for s in starts
                   if self._emb.get(s) is not None]
             self._cur = (key, self.vfs._score_xvectors(xv, timeline,
                                                        speech_dur))
@@ -700,10 +742,36 @@ class OnlineVFS:
         """Canonical scoring of the full signal — exactly equal to
         ``vfs.score_signal(<everything fed>)``.  Idempotent; an empty
         stream returns (None, 0.0, 0)."""
-        if self._finalized is None:
-            if self._total == 0:
-                self._finalized = (None, 0.0, 0)
-            else:
-                self._finalized = self.vfs.score_signal(self._signal(),
-                                                        self.basename)
+        if self._finalized is not None:
+            return self._finalized
+        if self._total == 0:
+            self._finalized = (None, 0.0, 0)
+        elif self._use_stream and self._total >= 400:
+            # exact offline reassembly from the incremental state: the
+            # stream's features are bit-equal to the offline ones, cached
+            # embeddings are reused, misses embed in one catch-up batch
+            vad_seg = self.vad_online.finalize()
+            timeline = SpeechTimeline.from_vad(vad_seg)
+            speech_duration = timeline.total_duration()
+            if not speech_duration:
+                self._finalized = (None, speech_duration, 0)
+                return self._finalized
+            fea = self._stream.finalize()
+
+            def collect(fea_final, needed):
+                done = {s: e for s, e in self._emb.items() if e is not None}
+                missing = [s for s in needed if s not in done]
+                if missing:
+                    embs = self.vfs.xvector_model.embeddings_from_features(
+                        fea_final, np.asarray(missing, np.int32))
+                    for s, e in zip(missing, embs):
+                        done[s] = e
+                return done
+
+            self._finalized = self.vfs._finish_from_embeddings(
+                self.basename, fea, self._total / 16000.0, timeline,
+                speech_duration, collect)
+        else:
+            self._finalized = self.vfs.score_signal(self._signal(),
+                                                    self.basename)
         return self._finalized

@@ -745,6 +745,21 @@ class VoiceFemininityScoring:
             return None, speech_duration, 0
 
         fea = vstream.finish()
+        return self._finish_from_embeddings(
+            basename, fea, duration, timeline, speech_duration,
+            session.collect)
+
+    def _finish_from_embeddings(self, basename, fea, duration, timeline,
+                                speech_duration, collect):
+        """Exact final scoring from (possibly pre-computed) embeddings:
+        reference window set + midpoint filter on the decoded timeline,
+        NaN drop, ragged tail window, x10 scaling, then the shared
+        scoring tail.  ``collect(fea, needed_starts) -> {start: raw emb}``
+        supplies full-window embeddings (speculative cache + catch-up).
+        Shared by the overlapped scorer and OnlineVFS.finalize — both
+        must equal the serial `score_signal` exactly."""
+        n_frames_vbx = int(fea.shape[0])
+        all_starts = list(range(0, n_frames_vbx - WINLEN, STEP))
 
         def midpoint_in_speech(sg):
             return timeline.contains_point((sg[0] + sg[1]) / 2)
@@ -752,7 +767,7 @@ class VoiceFemininityScoring:
         segs = [(round(s / 100.0, 3), round(s / 100.0 + WINLEN / 100.0, 3))
                 for s in all_starts]
         kept = [i for i, sg in enumerate(segs) if midpoint_in_speech(sg)]
-        embs = session.collect(fea, [all_starts[i] for i in kept])
+        embs = collect(fea, [all_starts[i] for i in kept])
         x_vectors = []
         for i in kept:
             s = all_starts[i]

@@ -252,3 +252,55 @@ def test_dither_buffer_shape_keyed_on_request():
     d3 = np.asarray(fe._dither_buffer(1000))            # after growth:
     assert d3.shape == (1000,)                          # shape unchanged
     np.testing.assert_array_equal(d3, d1)
+
+
+def test_online_stream_equals_offline_blocks(monkeypatch):
+    """VbxPcmStreamOnline (unknown length, growing capacity, safe-block
+    gating) must produce BIT-identical features to the offline
+    VbxPcmStream on the finished signal, for any append slicing."""
+    from inaspeechsegmenter_tpu.dsp.vbx import (VbxPcmStream,
+                                                VbxPcmStreamOnline)
+
+    rng = np.random.default_rng(23)
+    n = 16000 * 30 + 12345
+    sig = (rng.standard_normal(n) * 2500).astype(np.int16)
+    fe = VbxFrontend()
+
+    off = VbxPcmStream(fe, n)
+    off.append(sig)
+    want = np.asarray(off.finish())
+
+    for seed in (1, 2):
+        r2 = np.random.default_rng(seed)
+        on = VbxPcmStreamOnline(fe, capacity=1 << 18)  # force growth
+        pos = 0
+        while pos < n:
+            ln = int(r2.integers(1, 16000 * 7))
+            on.append(sig[pos: pos + ln])
+            pos += ln
+            assert on.frames_ready <= (pos - 80) // 160 + 1 if pos >= 400 \
+                else on.frames_ready == 0
+        got = np.asarray(on.finalize())
+        np.testing.assert_array_equal(got, want)
+
+
+def test_online_stream_safe_blocks_are_final(monkeypatch):
+    """Rows behind frames_ready never change as more audio arrives —
+    the online embedding cache's exactness precondition."""
+    from inaspeechsegmenter_tpu.dsp.vbx import VBX_BLK, VbxPcmStreamOnline
+
+    rng = np.random.default_rng(29)
+    fe = VbxFrontend()
+    on = VbxPcmStreamOnline(fe, capacity=1 << 21)
+    first = (rng.standard_normal((VBX_BLK + 400) * 160) * 2500
+             ).astype(np.int16)
+    on.append(first)
+    fr = on.frames_ready
+    assert fr >= VBX_BLK
+    snap = np.asarray(on.fea_buffer[:fr])
+    on.append((rng.standard_normal(16000 * 20) * 2500).astype(np.int16))
+    np.testing.assert_array_equal(np.asarray(on.fea_buffer[:fr]), snap)
+    total = on._pos
+    final = np.asarray(on.finalize())
+    np.testing.assert_array_equal(final[:fr], snap)
+    assert len(final) == (total - 80) // 160 + 1

@@ -132,3 +132,86 @@ def test_short_signals_fall_back(vfs, monkeypatch):
     assert not vfs._overlap_eligible_signal(sig)
     assert vfs.score_signal(sig, "short") == _serial(vfs, sig, monkeypatch,
                                                      "short")
+
+
+# ---------------------------------------------------------------------------
+# OnlineVFS on the incremental device feature stream (int16 mode)
+# ---------------------------------------------------------------------------
+
+def test_online_vfs_stream_finalize_equals_score_signal(vfs, monkeypatch):
+    """int16 live stream: incremental blocks + cached embeddings, finalize
+    reassembles the EXACT offline result (and equals the overlapped and
+    serial scorers, which equal each other)."""
+    from inaspeechsegmenter_tpu.online import OnlineVFS
+
+    monkeypatch.setenv("ISS_VBX_UPLOAD", "int16")
+    sig = synth_i16(100, seed=5)
+    online = OnlineVFS(vfs, basename="live")
+    block = 16000 * 3
+    for pos in range(0, len(sig), block):
+        online.feed(sig[pos: pos + block])
+        if (pos // block) % 5 == 0:
+            online.current()
+    assert online._use_stream
+    assert online._parts == []          # raw PCM dropped: bounded memory
+    got = online.finalize()
+    want = vfs.score_signal(sig, "live")
+    assert got == want
+
+
+def test_online_vfs_stream_reuses_embeddings(vfs, monkeypatch):
+    """finalize() must NOT re-embed windows the live loop already
+    embedded: only the misses go through the catch-up batch."""
+    from inaspeechsegmenter_tpu.online import OnlineVFS
+
+    monkeypatch.setenv("ISS_VBX_UPLOAD", "int16")
+    monkeypatch.setenv("ISS_ONLINE_VFS_BATCH", "8")
+    sig = synth_i16(100, seed=13)
+    online = OnlineVFS(vfs, basename="live")
+    block = 16000 * 2
+    for pos in range(0, len(sig), block):
+        online.feed(sig[pos: pos + block])
+        online.current()
+    cached = {s for s, e in online._emb.items() if e is not None}
+    calls = []
+    xm = vfs.xvector_model
+    real = xm.embeddings_from_features
+
+    def spy(fea, starts):
+        calls.append(list(np.asarray(starts)))
+        return real(fea, starts)
+
+    monkeypatch.setattr(xm, "embeddings_from_features", spy)
+    got = online.finalize()
+    for batch in calls:
+        assert not (set(batch) & cached), "re-embedded a cached window"
+    monkeypatch.setattr(xm, "embeddings_from_features", real)
+    assert got == vfs.score_signal(sig, "live")
+
+
+def test_online_vfs_float_stream_keeps_fallback(vfs, monkeypatch):
+    """Float feeds stay on the buffered-prefix path and finalize exactly."""
+    from inaspeechsegmenter_tpu.online import OnlineVFS
+
+    monkeypatch.setenv("ISS_VBX_UPLOAD", "int16")
+    sig = (synth_i16(70, seed=9).astype(np.float32) / 32768.0)
+    online = OnlineVFS(vfs, basename="fl")
+    block = 16000 * 4
+    for pos in range(0, len(sig), block):
+        online.feed(sig[pos: pos + block])
+        online.current()
+    assert not online._use_stream
+    assert online.finalize() == vfs.score_signal(sig, "fl")
+
+
+def test_online_vfs_stream_tiny_total(vfs, monkeypatch):
+    """A stream that ends below one analysis window falls back to the
+    offline error contract (raw prefix retained for exactly this case)."""
+    from inaspeechsegmenter_tpu.online import OnlineVFS
+
+    monkeypatch.setenv("ISS_VBX_UPLOAD", "int16")
+    online = OnlineVFS(vfs, basename="tiny")
+    online.feed(np.zeros(300, np.int16))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="too short"):
+        online.finalize()
