@@ -122,6 +122,7 @@ class OnlineSegmenter:
         self._committed_ids = np.zeros(0, np.int32)
         self._stat_handles = []     # per-chunk (sum, cnt) device scalars
         self._ext_stats = (0.0, 0.0)   # accumulated committed loge stats
+        self._polled = False        # pace commits only for poll consumers
 
     @property
     def seconds_fed(self):
@@ -162,6 +163,17 @@ class OnlineSegmenter:
         self._total += len(pcm)
         if not self._passthrough:
             self._compute_ready_groups(final_pad_chunks=None)
+            # commit pacing: a consumer that polls must never face an
+            # unbounded suffix decode because it polled RARELY — once the
+            # uncommitted span outruns the force-commit horizon by a
+            # group, run the decode+commit now (bounded: the suffix never
+            # exceeds MAXBACK + a couple of groups), so any later poll —
+            # and every poll during a follow-mode backlog drain — costs
+            # O(horizon), not O(stream)
+            if (self._polled and len(self._mels) >= 2
+                    and (len(self._mels) - self._commit
+                         > self.COMMIT_MAXBACK + self._group)):
+                self.current()
         return self
 
     def _materialize(self):
@@ -287,6 +299,7 @@ class OnlineSegmenter:
         per poll and O(backlog-decode) only when new chunks land."""
         if self._finalized is not None:
             return self._finalized
+        self._polled = True
         m = len(self._mels)
         if m < 2:
             # less than two chunks of features: the offline path would use
