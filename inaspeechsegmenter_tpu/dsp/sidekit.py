@@ -73,10 +73,10 @@ def group_shipped_bytes(sig_i16):
     actually shipped, not a whole-file packing the pipeline never performs.
 
     Scope: the ``keep_pcm`` (shared-PCM / VFS) path grows its chunk count
-    by one bucket rung when the signal outruns the feature window
-    (`mspec_loge_chunks`); this accounting does NOT model that growth, so
+    by ONE chunk when the signal outruns the feature window
+    (`iter_group_feats`); this accounting does NOT model that growth, so
     the ratio is exact for the batch-segmentation path and a close upper
-    bound (the growth chunks are near-all zeros, elided by the codec) for
+    bound (the growth chunk is near-all zeros, elided by the codec) for
     the shared-PCM path.
 
     :return: ``(shipped_bytes, raw_bytes)`` — equal when the codec is

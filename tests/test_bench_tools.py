@@ -52,8 +52,10 @@ def test_group_shipped_bytes_mirrors_real_group_loop(monkeypatch):
         _out.append((len(raw), int(np.int64(raw[:64]).sum())))
         return orig(raw)
 
-    # the helper resolves pack_best from dsp.codec at call time
-    monkeypatch.setattr(codec, "pack_best", spy_diag)
+    # both the helper and the real loop use sidekit's module binding
+    # (the once-redundant local import was removed in round 5's advisor
+    # pass)
+    monkeypatch.setattr(sidekit, "pack_best", spy_diag)
     monkeypatch.setenv("ISS_UPLOAD_CODEC", "1")
     shipped, raw_b = sidekit.group_shipped_bytes(sig)
 
