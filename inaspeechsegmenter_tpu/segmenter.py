@@ -279,25 +279,58 @@ class Segmenter:
 
         import jax.numpy as jnp
 
+        # REAL chunks only: stream_decode pads the probs/mels to the
+        # bucket ladder itself, so computing features + CNN emissions
+        # for padding chunks would be pure waste (a 1200 s file pads
+        # 30 -> 42 chunks on the ladder: 40% extra chunk programs).
+        #
+        # Emission dispatch is INTERLEAVED with the upload groups: the
+        # device executes its queue in order, so emissions all dispatched
+        # after the last upload (the old run_streaming driver) could only
+        # START once the final transfer landed — on link-bound hosts the
+        # whole CNN pass ran serially after the upload.  Dispatching each
+        # chunk's emissions as soon as its right halo exists lets them
+        # execute between the remaining transfers; values are identical
+        # (same chunk_emissions programs, same halos).
+        spec_gender = (self.detect_gender
+                       and os.environ.get("ISS_STREAM_GENDER", "0") == "1")
+        vp = self.vad.model.params
+        gp = self.gender.model.params if self.detect_gender else None
         with self.timers.time("features"):
             t = frame_count(len(sig))
-            # REAL chunks only: stream_decode pads the probs/mels to the
-            # bucket ladder itself, so computing features + CNN emissions
-            # for padding chunks would be pure waste (a 1200 s file pads
-            # 30 -> 42 chunks on the ladder: 40% extra chunk programs)
-            pcm = None
-            if return_pcm:
-                chunks, t, pcm = self.frontend.mspec_loge_chunks(
-                    sig, keep_pcm=True)
-            else:
-                chunks, t = self.frontend.mspec_loge_chunks(sig)
+            chunks, probs_v, probs_g = [], [], []
+            pcm = [] if return_pcm else None
+
+            def dispatch_ready():
+                while len(probs_v) < len(chunks) - 1:
+                    c = len(probs_v)
+                    pv, pg = self.pipeline.chunk_emissions(
+                        vp, gp if spec_gender else None, chunks, c)
+                    probs_v.append(pv)
+                    if spec_gender:
+                        probs_g.append(pg)
+
+            for chunks_g, pcm_g in self.frontend.iter_group_feats(
+                    sig, keep_pcm=return_pcm):
+                chunks.extend(chunks_g)
+                if pcm is not None and pcm_g is not None:
+                    pcm.append(pcm_g)
+                if t >= 68 and len(chunks) >= 2:
+                    dispatch_ready()
+            if pcm is not None and not pcm:
+                pcm = None          # float sources: no shared PCM
         if t >= 68 and len(chunks) >= 2:
             n20 = (t + 1) // 2
             with self.timers.time("segment"):
-                ids = self.pipeline.run_streaming(
-                    self.vad.model.params,
-                    self.gender.model.params if self.detect_gender else None,
-                    chunks, t, t, n20)
+                pv, pg = self.pipeline.chunk_emissions(
+                    vp, gp if spec_gender else None, chunks,
+                    len(chunks) - 1)
+                probs_v.append(pv)
+                if spec_gender:
+                    probs_g.append(pg)
+                ids = self.pipeline.stream_decode(
+                    vp, gp, chunks, probs_v,
+                    probs_g if spec_gender else None, t, t, n20)
                 ids = np.asarray(ids)[:n20]
             ret = self.ids_to_lseg(ids, s0)
             return (ret, pcm) if return_pcm else ret
