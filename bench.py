@@ -394,7 +394,14 @@ def measure_online(seg, seconds=150):
 
 def main():
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
-    from inaspeechsegmenter_tpu.utils.env import wait_for_device
+    from inaspeechsegmenter_tpu.utils.env import (apply_platform_env,
+                                                  wait_for_device)
+
+    # honor an explicit JAX_PLATFORMS pin in THIS process: some hosts
+    # install a sitecustomize hook that force-selects an accelerator
+    # plugin over the env var, which would route an intended-CPU bench
+    # (tests, fallback runs on a stalled link) onto the tunneled device
+    apply_platform_env()
     # the tunneled device link stalls for tens of minutes at a time: wait
     # (bounded) for it to answer instead of hanging the harness, and emit
     # a parseable record if it never does.  This must run BEFORE

@@ -182,7 +182,12 @@ def vfs_cadence(vfs, sig, cadence_s=1):
 
 def main():
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
-    from inaspeechsegmenter_tpu.utils.env import wait_for_device
+    from inaspeechsegmenter_tpu.utils.env import (apply_platform_env,
+                                                  wait_for_device)
+
+    # honor an explicit JAX_PLATFORMS pin over any sitecustomize
+    # accelerator hook (see bench.py)
+    apply_platform_env()
 
     if not wait_for_device(float(os.environ.get("ISS_BENCH_LINK_WAIT",
                                                 "1800"))):

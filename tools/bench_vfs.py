@@ -88,7 +88,12 @@ def measure_vfs(seconds, rounds=3, workload=None):
 
 def main():
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
-    from inaspeechsegmenter_tpu.utils.env import wait_for_device
+    from inaspeechsegmenter_tpu.utils.env import (apply_platform_env,
+                                                  wait_for_device)
+
+    # honor an explicit JAX_PLATFORMS pin over any sitecustomize
+    # accelerator hook (see bench.py)
+    apply_platform_env()
 
     # bounded wait for the tunneled link (see bench.py): the cache setup
     # below initializes the backend and would hang on a dead link

@@ -24,7 +24,9 @@ def main():
     args = ap.parse_args()
 
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
+    from inaspeechsegmenter_tpu.utils.env import apply_platform_env
 
+    apply_platform_env()   # honor JAX_PLATFORMS over sitecustomize hooks
     enable_compilation_cache()
 
     import numpy as np

@@ -24,6 +24,9 @@ def timeit(fn, n=3):
 
 def main():
     from inaspeechsegmenter_tpu.utils.cache import enable_compilation_cache
+    from inaspeechsegmenter_tpu.utils.env import apply_platform_env
+
+    apply_platform_env()   # honor JAX_PLATFORMS over sitecustomize hooks
     enable_compilation_cache()
     seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     from inaspeechsegmenter_tpu.models.synthetic import ensure_synthetic_env
